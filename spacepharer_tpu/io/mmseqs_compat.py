@@ -1,0 +1,120 @@
+"""Reader for MMseqs2/SpacePHARER key-value databases.
+
+Used for (a) validating this framework against reference-produced
+databases in tests and (b) importing existing setDBs built with the
+reference tool chain.
+
+Format (lib/mmseqs/src/commons/DBReader.h / DBWriter.h):
+  <name>          data: '\\0'-terminated entries (may be split over
+                  <name>.0 .. <name>.N when written multi-threaded;
+                  index offsets are global over the concatenation)
+  <name>.index    text lines: key \\t offset \\t length   (length incl. '\\0')
+  <name>.dbtype   4-byte little-endian type id
+  <name>.lookup   key \\t accession \\t fileNumber
+  <name>.source   fileNumber \\t fileName
+"""
+import os
+from functools import cached_property
+
+import numpy as np
+
+DBTYPE_AA = 0
+DBTYPE_NUCL = 1
+DBTYPE_PREFILTER_RES = 7
+DBTYPE_ALIGNMENT_RES = 5
+DBTYPE_GENERIC = 12
+DBTYPE_OMIT_FILE = 13
+
+
+class MMseqsDB:
+    """Random-access reader for one MMseqs database."""
+
+    def __init__(self, path: str):
+        self.path = path
+        data_parts = []
+        if os.path.exists(path):
+            data_parts.append(path)
+        else:
+            i = 0
+            while os.path.exists(f"{path}.{i}"):
+                data_parts.append(f"{path}.{i}")
+                i += 1
+        if not data_parts:
+            raise FileNotFoundError(path)
+        blobs = []
+        for p in data_parts:
+            with open(p, "rb") as fh:
+                blobs.append(fh.read())
+        self.data = b"".join(blobs)
+        keys, offs, lens = [], [], []
+        with open(path + ".index") as fh:
+            for line in fh:
+                k, o, l = line.rstrip("\n").split("\t")
+                keys.append(int(k))
+                offs.append(int(o))
+                lens.append(int(l))
+        self.keys = np.array(keys, dtype=np.int64)
+        self.offsets = np.array(offs, dtype=np.int64)
+        self.lengths = np.array(lens, dtype=np.int64)
+
+    @cached_property
+    def dbtype(self) -> int:
+        try:
+            with open(self.path + ".dbtype", "rb") as fh:
+                return int.from_bytes(fh.read(4), "little") & 0xFF
+        except FileNotFoundError:
+            return -1
+
+    def __len__(self):
+        return len(self.keys)
+
+    def get(self, key: int) -> bytes:
+        """Entry payload by key, without the trailing '\\0'."""
+        idx = np.searchsorted(self.keys, key)
+        if idx >= len(self.keys) or self.keys[idx] != key:
+            raise KeyError(key)
+        return self.get_by_rank(int(idx))
+
+    def get_by_rank(self, i: int) -> bytes:
+        o, l = int(self.offsets[i]), int(self.lengths[i])
+        return self.data[o:o + l - 1]
+
+    def text(self, key: int) -> str:
+        return self.get(key).decode("ascii", "replace")
+
+    def seq(self, key: int) -> bytes:
+        """Sequence payload with the trailing newline stripped."""
+        return self.get(key).rstrip(b"\n")
+
+    def items(self):
+        for i, k in enumerate(self.keys):
+            yield int(k), self.get_by_rank(i)
+
+    def lookup(self):
+        """Parse <name>.lookup -> list of (key, accession, fileNum)."""
+        out = []
+        with open(self.path + ".lookup") as fh:
+            for line in fh:
+                parts = line.rstrip("\n").split("\t")
+                out.append((int(parts[0]), parts[1], int(parts[2])))
+        return out
+
+    def source(self):
+        out = []
+        with open(self.path + ".source") as fh:
+            for line in fh:
+                num, name = line.rstrip("\n").split("\t")
+                out.append((int(num), name))
+        return out
+
+
+def read_tsv_result(db: MMseqsDB):
+    """Parse a result DB into {key: [line-split-fields, ...]}."""
+    out = {}
+    for k, payload in db.items():
+        rows = []
+        for line in payload.decode("ascii").split("\n"):
+            if line:
+                rows.append(line.split("\t"))
+        out[k] = rows
+    return out
