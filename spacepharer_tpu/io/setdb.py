@@ -1,0 +1,248 @@
+"""SetDB: the packed, tensor-native sequence-set database.
+
+This replaces the reference's createsetdb file zoo (seqDB + _h + .lookup
++ .source + _nucl_* + contig<->set maps + member<->set maps + _set_size;
+data/createsetdb.sh:39-170) with one artifact of dense arrays:
+
+* contigs:  flat uint8 ASCII + offsets, accession/header strings,
+            ``contig_to_set`` (i32) — the set id is the input file index,
+            like the reference's fileNumber-as-set-id convention
+            (lib/mmseqs/src/util/createdb.cpp .lookup/.source).
+* ORFs:     per-ORF contig id, contig coordinates (minus strand has
+            from > to), completeness flags, amino-acid and
+            reading-direction nucleotide sequences (flat + offsets).
+            ORF order is (contig ascending, emission order) — identical
+            to the reference's renumbered ORF keys.
+* set_size: ORFs per set (reference: result2stats linecount on
+            _set_to_member).
+* optional taxonomy: set-level and ORF-level taxids.
+
+"Aggregation by set" downstream is plain ``segment_*`` over
+``orf_to_set = contig_to_set[orf_contig]``.
+"""
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+
+from ..alphabet import revcomp_ascii
+from ..ops.orf import ANY_TO_STOP, START_TO_STOP, find_orfs, orf_nucl_sequence
+from ..ops.revcodon import reverse_by_codon
+from ..ops.translate import translate
+from .fasta import iter_fasta, parse_fasta_header_accession
+from .spacer_formats import SpacerRecord
+
+FORMAT_VERSION = 1
+
+
+@dataclass
+class SetDB:
+    # contigs
+    contig_data: np.ndarray          # uint8 flat ASCII
+    contig_offsets: np.ndarray       # int64 [n_contigs+1]
+    contig_accession: list
+    contig_header: list
+    contig_to_set: np.ndarray        # int32 [n_contigs]
+    set_names: list
+    # ORFs
+    orf_contig: np.ndarray           # int32 [n_orfs]
+    orf_from: np.ndarray             # int64 contig coords (inclusive)
+    orf_to: np.ndarray               # int64
+    orf_complete: np.ndarray         # uint8: bit0=incomplete start, bit1=incomplete end
+    orf_aa_data: np.ndarray          # uint8 flat ASCII
+    orf_aa_offsets: np.ndarray       # int64 [n_orfs+1]
+    orf_nucl_data: np.ndarray        # uint8 flat ASCII (reading direction)
+    orf_nucl_offsets: np.ndarray     # int64 [n_orfs+1]
+    set_size: np.ndarray             # int32 [n_sets]
+    is_control: bool = False
+    spacer_mode: bool = False
+    # taxonomy (optional)
+    set_taxid: Optional[np.ndarray] = None      # int64 [n_sets]
+    orf_taxid: Optional[np.ndarray] = None      # int64 [n_orfs]
+    contig_taxid: Optional[np.ndarray] = None   # int64 [n_contigs]
+    taxdump_path: Optional[str] = None
+
+    @property
+    def n_contigs(self):
+        return len(self.contig_offsets) - 1
+
+    @property
+    def n_orfs(self):
+        return len(self.orf_aa_offsets) - 1
+
+    @property
+    def n_sets(self):
+        return len(self.set_size)
+
+    def contig_seq(self, i: int) -> np.ndarray:
+        return self.contig_data[self.contig_offsets[i]:self.contig_offsets[i + 1]]
+
+    def orf_aa(self, i: int) -> np.ndarray:
+        return self.orf_aa_data[self.orf_aa_offsets[i]:self.orf_aa_offsets[i + 1]]
+
+    def orf_nucl(self, i: int) -> np.ndarray:
+        return self.orf_nucl_data[self.orf_nucl_offsets[i]:self.orf_nucl_offsets[i + 1]]
+
+    @property
+    def orf_to_set(self) -> np.ndarray:
+        return self.contig_to_set[self.orf_contig]
+
+    @property
+    def orf_aa_lengths(self) -> np.ndarray:
+        return np.diff(self.orf_aa_offsets)
+
+    def set_to_first_contig(self) -> np.ndarray:
+        """set id -> lowest contig id of the set (findpam's convention,
+        src/util/FindPam.cpp:156 reads only the first _set_to_contig entry)."""
+        out = np.full(self.n_sets, -1, dtype=np.int64)
+        for c in range(self.n_contigs - 1, -1, -1):
+            out[self.contig_to_set[c]] = c
+        return out
+
+    # ------------------------------------------------------------------ io
+    def save(self, path: str):
+        os.makedirs(path, exist_ok=True)
+        arrays = dict(
+            contig_data=self.contig_data, contig_offsets=self.contig_offsets,
+            contig_to_set=self.contig_to_set,
+            orf_contig=self.orf_contig, orf_from=self.orf_from,
+            orf_to=self.orf_to, orf_complete=self.orf_complete,
+            orf_aa_data=self.orf_aa_data, orf_aa_offsets=self.orf_aa_offsets,
+            orf_nucl_data=self.orf_nucl_data,
+            orf_nucl_offsets=self.orf_nucl_offsets,
+            set_size=self.set_size,
+        )
+        for name in ("set_taxid", "orf_taxid", "contig_taxid"):
+            v = getattr(self, name)
+            if v is not None:
+                arrays[name] = v
+        np.savez_compressed(os.path.join(path, "arrays.npz"), **arrays)
+        meta = dict(
+            version=FORMAT_VERSION,
+            is_control=self.is_control,
+            spacer_mode=self.spacer_mode,
+            set_names=self.set_names,
+            contig_accession=self.contig_accession,
+            contig_header=self.contig_header,
+            taxdump_path=self.taxdump_path,
+        )
+        with open(os.path.join(path, "meta.json"), "w") as fh:
+            json.dump(meta, fh)
+
+    @classmethod
+    def load(cls, path: str) -> "SetDB":
+        with open(os.path.join(path, "meta.json")) as fh:
+            meta = json.load(fh)
+        if meta.get("version") != FORMAT_VERSION:
+            raise ValueError(f"unsupported SetDB version in {path}")
+        z = np.load(os.path.join(path, "arrays.npz"))
+        kw = {k: z[k] for k in z.files}
+        return cls(
+            set_names=meta["set_names"],
+            contig_accession=meta["contig_accession"],
+            contig_header=meta["contig_header"],
+            is_control=meta["is_control"],
+            spacer_mode=meta["spacer_mode"],
+            taxdump_path=meta.get("taxdump_path"),
+            **kw,
+        )
+
+    @staticmethod
+    def exists(path: str) -> bool:
+        return os.path.exists(os.path.join(path, "meta.json"))
+
+
+def build_setdb_from_fasta(files: list, spacer_mode: bool = False,
+                           reverse_fragments: bool = False,
+                           orf_min_length: Optional[int] = None,
+                           orf_max_length: int = 32734,
+                           translation_table: int = 1) -> SetDB:
+    """FASTA files -> SetDB. One set per input file."""
+    contigs, accs, headers, c2s, set_names = [], [], [], [], []
+    for fi, path in enumerate(files):
+        set_names.append(os.path.basename(path))
+        for e in iter_fasta(path):
+            contigs.append(e.seq)
+            accs.append(parse_fasta_header_accession(e.header))
+            headers.append(e.header)
+            c2s.append(fi)
+    return _assemble(contigs, accs, headers, c2s, set_names, spacer_mode,
+                     reverse_fragments, orf_min_length, orf_max_length,
+                     translation_table)
+
+
+def build_setdb_from_spacers(records: list, set_names: list,
+                             reverse_fragments: bool = False,
+                             orf_max_length: int = 32734,
+                             translation_table: int = 1) -> SetDB:
+    """parsespacer records -> SetDB (spacer mode: partial ORFs >= 9 codons)."""
+    contigs = [np.frombuffer(r.seq, dtype=np.uint8).copy() for r in records]
+    accs = [r.accession for r in records]
+    headers = [r.header for r in records]
+    c2s = [r.file_idx for r in records]
+    return _assemble(contigs, accs, headers, c2s, set_names, True,
+                     reverse_fragments, None, orf_max_length, translation_table)
+
+
+def _assemble(contigs, accs, headers, c2s, set_names, spacer_mode,
+              reverse_fragments, orf_min_length, orf_max_length, table_id):
+    if spacer_mode:
+        min_len = 9 if orf_min_length is None else orf_min_length
+        start_mode = ANY_TO_STOP
+    else:
+        min_len = 30 if orf_min_length is None else orf_min_length
+        start_mode = START_TO_STOP
+
+    orf_contig, orf_from, orf_to, orf_complete = [], [], [], []
+    aa_parts, nucl_parts = [], []
+    for ci, contig in enumerate(contigs):
+        orfs = find_orfs(contig, min_length=min_len, max_length=orf_max_length,
+                         start_mode=start_mode, table_id=table_id)
+        for k in range(len(orfs.strand)):
+            nucl = orf_nucl_sequence(contig, int(orfs.frame_from[k]),
+                                     int(orfs.frame_to[k]), int(orfs.strand[k]))
+            if reverse_fragments:
+                nucl = reverse_by_codon(nucl)
+            aa = translate(nucl, table_id)
+            if len(aa) == 0:
+                continue
+            orf_contig.append(ci)
+            orf_from.append(int(orfs.contig_from[k]))
+            orf_to.append(int(orfs.contig_to[k]))
+            orf_complete.append(
+                int(orfs.incomplete_start[k]) | (int(orfs.incomplete_end[k]) << 1))
+            aa_parts.append(aa)
+            nucl_parts.append(nucl)
+
+    n_sets = len(set_names)
+    orf_contig = np.asarray(orf_contig, dtype=np.int32)
+    c2s = np.asarray(c2s, dtype=np.int32)
+    set_size = np.bincount(c2s[orf_contig], minlength=n_sets).astype(np.int32)
+
+    contig_data, contig_offsets = _flat(contigs)
+    aa_data, aa_offsets = _flat(aa_parts)
+    nucl_data, nucl_offsets = _flat(nucl_parts)
+    return SetDB(
+        contig_data=contig_data, contig_offsets=contig_offsets,
+        contig_accession=accs, contig_header=headers,
+        contig_to_set=c2s, set_names=list(set_names),
+        orf_contig=orf_contig,
+        orf_from=np.asarray(orf_from, dtype=np.int64),
+        orf_to=np.asarray(orf_to, dtype=np.int64),
+        orf_complete=np.asarray(orf_complete, dtype=np.uint8),
+        orf_aa_data=aa_data, orf_aa_offsets=aa_offsets,
+        orf_nucl_data=nucl_data, orf_nucl_offsets=nucl_offsets,
+        set_size=set_size,
+        is_control=bool(reverse_fragments),
+        spacer_mode=bool(spacer_mode),
+    )
+
+
+def _flat(parts):
+    if not parts:
+        return np.zeros(0, dtype=np.uint8), np.zeros(1, dtype=np.int64)
+    offsets = np.zeros(len(parts) + 1, dtype=np.int64)
+    np.cumsum([len(p) for p in parts], out=offsets[1:])
+    return np.concatenate(parts).astype(np.uint8), offsets
