@@ -34,14 +34,18 @@ for _src, _dst in (("B", "D"), ("J", "L"), ("Z", "E"), ("O", "X"), ("U", "X")):
     _AA_LUT[ord(_src.lower())] = AA_ALPHABET.index(_dst)
 
 # ---------------------------------------------------------------------------
-# ASCII -> nucleotide index in "ACTG X" order (ambiguity codes -> X).
+# ASCII -> nucleotide index in "ACTG X" order, with mmseqs's ambiguity
+# collapse (NucleotideMatrix::setupLetterMapping, NucleotideMatrix.cpp:17-60):
+# U/W -> T, K/B/D/V/R/S -> G, M/Y/H -> C, everything else -> X.
 # ---------------------------------------------------------------------------
 _NUCL_LUT = np.full(256, NUCL_X, dtype=np.uint8)
 for _i, _c in enumerate("ACTG"):
     _NUCL_LUT[ord(_c)] = _i
     _NUCL_LUT[ord(_c.lower())] = _i
-_NUCL_LUT[ord("U")] = 2
-_NUCL_LUT[ord("u")] = 2
+for _c, _dst in (("U", 2), ("W", 2), ("K", 3), ("B", 3), ("D", 3), ("V", 3),
+                 ("R", 3), ("S", 3), ("M", 1), ("Y", 1), ("H", 1)):
+    _NUCL_LUT[ord(_c)] = _dst
+    _NUCL_LUT[ord(_c.lower())] = _dst
 
 # ---------------------------------------------------------------------------
 # ASCII -> IUPAC 4-bit code (gap/unknown -> 0). '-ACMGRSVTWYHKDBN' order,

@@ -1,0 +1,173 @@
+"""Gumbel-statistics E-values with ALP finite-size correction.
+
+Parity target: EvalueComputation (lib/mmseqs/src/alignment/EvalueComputation.h)
+backed by the ALP library (lib/mmseqs/lib/alp). The E-value of a local
+alignment score ``y`` of a query of length ``n`` against a database of
+``m`` total residues is::
+
+    E = K * area(y, m, n) * exp(-lambda * y)
+
+where ``area`` applies NCBI's finite-size correction
+(sls_pvalues.cpp:366-545):
+
+    p1   = max-corrected (m - (a_I y + b_I)) weighted by a normal CDF
+    p2   = same for n with (a_J, b_J)
+    area = p1*p2 + c(y) * Phi(m_F) * Phi(n_F)
+
+The 12 Gumbel parameters per (matrix, gap-open, gap-extend) come from
+ALP's randomized simulation (seed 42). The combinations used by the
+product were extracted once from the reference implementation's
+deterministic computation (data/alp_reference_dump.txt) and are
+embedded below; arbitrary combinations can be added the same way.
+"""
+import math
+from dataclasses import dataclass
+from functools import lru_cache
+
+import numpy as np
+from scipy.special import erfc  # available via jax/scipy baked-in deps
+
+_SQRT_HALF = math.sqrt(0.5)
+_CONST_VAL = 1.0 / math.sqrt(2.0 * math.pi)
+_NAT_CUTOFF = 2.0  # nat_cut_off_in_max, sls_pvalues.cpp:46
+
+
+@dataclass(frozen=True)
+class GumbelParams:
+    lambda_: float
+    K: float
+    a_J: float
+    b_J: float
+    a_I: float
+    b_I: float
+    alpha_J: float
+    beta_J: float
+    alpha_I: float
+    beta_I: float
+    sigma: float
+    tau: float
+
+    @property
+    def vi_y_thr(self):
+        return max(_NAT_CUTOFF * self.alpha_I / self.lambda_, 0.0)
+
+    @property
+    def vj_y_thr(self):
+        return max(_NAT_CUTOFF * self.alpha_J / self.lambda_, 0.0)
+
+    @property
+    def c_y_thr(self):
+        return max(_NAT_CUTOFF * self.sigma / self.lambda_, 0.0)
+
+
+# (matrix-name, gap_open, gap_extend, gapped) -> params.
+# First two entries mirror the reference's hard-coded defaults
+# (EvalueComputation.h:56-76); the rest were extracted from ALP's
+# deterministic simulation via the reference build (seed 42).
+_PARAMS = {
+    ("nucleotide.out", 7, 1, True): GumbelParams(
+        1.0960171987681839, 0.33538787507026158,
+        2.0290734315292083, -0.46514786408422282,
+        2.0290734315292083, -0.46514786408422282,
+        5.0543294182155085, 15.130999712620039,
+        5.0543294182155085, 15.130999712620039,
+        5.0543962679167036, 15.129930117400917),
+    ("blosum62.out", 11, 1, True): GumbelParams(
+        0.27359865037097330642, 0.044620920658722244834,
+        1.5938724404943873658, -19.959867650284412122,
+        1.5938724404943873658, -19.959867650284412122,
+        30.455610143099914211, -622.28684628915891608,
+        30.455610143099914211, -622.28684628915891608,
+        29.602444874818868215, -601.81087985041381216),
+    ("VTML40.out", 16, 2, True): GumbelParams(
+        0.34420393530174209, 0.27487374979561635,
+        0.22018895496520485, 0.026237512825550646,
+        0.22018895496520485, 0.026237512825550646,
+        0.18481499377626534, 1.7126891360391483,
+        0.18481499377626534, 1.7126891360391483,
+        0.18283871043913499, 1.7838353361758408),
+    ("nucleotide.out", 10, 2, True): GumbelParams(
+        0.63361984397325744, 0.42150719938226583,
+        0.68666204026925159, 0.18923575026627315,
+        0.68666204026925159, 0.18923575026627315,
+        0.71225621255786731, 2.9058945364387716,
+        0.71225621255786731, 2.9058945364387716,
+        0.7125673897037631, 2.8984262849372726),
+    ("nucleotide.out", 16, 2, True): GumbelParams(
+        0.63422669921142538, 0.43322216977722455,
+        0.67208347310921768, 0.80868204316063075,
+        0.67208347310921768, 0.80868204316063075,
+        0.51777794595570292, 11.360059402336075,
+        0.51777794595570292, 11.360059402336075,
+        0.51777794595570292, 11.360059402336075),
+}
+
+
+@lru_cache(maxsize=None)
+def gumbel_params(matrix_name: str, gap_open: int, gap_extend: int,
+                  gapped: bool = True) -> GumbelParams:
+    try:
+        return _PARAMS[(matrix_name, gap_open, gap_extend, gapped)]
+    except KeyError:
+        raise ValueError(
+            f"no embedded Gumbel parameters for ({matrix_name}, {gap_open}, "
+            f"{gap_extend}, gapped={gapped}); extract them via ALP and add "
+            "to spacepharer_tpu.ops.evalue._PARAMS") from None
+
+
+def _phi(x):
+    return 0.5 * erfc(-_SQRT_HALF * x)
+
+
+class EvalueComputer:
+    """Vectorized E-values for one (matrix, gaps, target-DB-size) context.
+
+    ``db_res_count`` follows the reference's getAminoAcidDBSize: the
+    total residue count of the target database.
+    """
+
+    def __init__(self, params: GumbelParams, db_res_count: int):
+        self.p = params
+        self.m = float(db_res_count)
+        self.log_k = math.log(params.K)
+
+    def area(self, score, query_len):
+        p = self.p
+        y = np.asarray(score, dtype=np.float64)
+        n = np.asarray(query_len, dtype=np.float64)
+        m = self.m
+
+        m_li = m - (p.a_I * y + p.b_I)
+        vi = np.maximum(p.vi_y_thr, p.alpha_I * y + p.beta_I)
+        sqrt_vi = np.sqrt(vi)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            m_F = np.where(sqrt_vi == 0.0, 1e100, m_li / sqrt_vi)
+        P_m = _phi(m_F)
+        E_m = -_CONST_VAL * np.exp(-0.5 * m_F * m_F)
+        p1 = m_li * P_m - sqrt_vi * E_m
+
+        n_lj = n - (p.a_J * y + p.b_J)
+        vj = np.maximum(p.vj_y_thr, p.alpha_J * y + p.beta_J)
+        sqrt_vj = np.sqrt(vj)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            n_F = np.where(sqrt_vj == 0.0, 1e100, n_lj / sqrt_vj)
+        P_n = _phi(n_F)
+        E_n = -_CONST_VAL * np.exp(-0.5 * n_F * n_F)
+        p2 = n_lj * P_n - sqrt_vj * E_n
+
+        c_y = np.maximum(p.c_y_thr, p.sigma * y + p.tau)
+        return p1 * p2 + c_y * P_m * P_n
+
+    def evalue(self, score, query_len):
+        y = np.asarray(score, dtype=np.float64)
+        epa = self.p.K * np.exp(-self.p.lambda_ * y)
+        return epa * self.area(y, query_len)
+
+    def log_evalue(self, score, query_len):
+        e = np.maximum(self.evalue(score, query_len),
+                       np.finfo(np.float64).tiny)
+        return np.log(e)
+
+    def bit_score(self, score):
+        return (self.p.lambda_ * np.asarray(score, dtype=np.float64)
+                - self.log_k) / math.log(2.0)
