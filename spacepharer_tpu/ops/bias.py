@@ -1,0 +1,40 @@
+"""Local amino-acid composition bias correction.
+
+Parity target: SubstitutionMatrix::calcLocalAaBiasCorrection
+(lib/mmseqs/src/commons/SubstitutionMatrix.cpp:85-114): window of 40
+centered at each position (minPos = max(0, i-20), maxPos = min(N, i+20)),
+  bias[i] = -(sum_{j in win, j != i} S[q_i][q_j]) / winLen
+            + sum_a pBack[a] * S[q_i][a]
+Computed banded (offsets -20..19) so it scales to long ORFs.
+"""
+import numpy as np
+
+from .matrices import ScoringMatrix
+
+
+def local_aa_bias(seq_num: np.ndarray, matrix: ScoringMatrix) -> np.ndarray:
+    """float64 bias per position. The reference accumulates int scores and
+    divides in float; differences are below the later int-rounding."""
+    n = len(seq_num)
+    if n == 0:
+        return np.zeros(0, dtype=np.float64)
+    s = matrix.scores.astype(np.float64)
+    seq_num = np.asarray(seq_num, dtype=np.int64)
+    rows = s[seq_num]                       # [n, A] = S[q_i][:]
+    win_sum = np.zeros(n, dtype=np.float64)
+    i = np.arange(n)
+    # window j in [max(0,i-20), min(n,i+20)) — offsets -20..19 inclusive
+    for d in range(-20, 20):
+        j = i + d
+        ok = (j >= 0) & (j < n)
+        win_sum[ok] += rows[i[ok], seq_num[j[ok]]]
+    win_len = (np.minimum(n, i + 20) - np.maximum(0, i - 20)).astype(np.float64)
+    win_sum -= rows[i, seq_num]             # remove own amino acid
+    expected = rows @ matrix.p_back
+    return -win_sum / win_len + expected
+
+
+def round_half_away(x):
+    """C-style (int)(x < 0 ? x - 0.5 : x + 0.5) rounding."""
+    x = np.asarray(x, dtype=np.float64)
+    return np.where(x < 0, np.ceil(x - 0.5), np.floor(x + 0.5)).astype(np.int64)

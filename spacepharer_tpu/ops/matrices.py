@@ -30,7 +30,9 @@ class ScoringMatrix:
     name: str
     alphabet: str            # row/col order, e.g. "ACDEFGHIKLMNPQRSTVWYX"
     scores: np.ndarray       # int32 [A, A] rescaled integer scores
-    p_back: np.ndarray       # float64 [A] background used for rescale (row sums)
+    p_back: np.ndarray       # float64 [A] the matrix's background distribution
+                             # (file values scaled by (1-p_X); the reference's
+                             # member pBack, SubstitutionMatrix.cpp:393-399)
     prob: np.ndarray         # float64 [A, A] joint probabilities
     lambda_file: float       # lambda from the matrix file (for file-score units)
     bit_factor: float
@@ -82,12 +84,16 @@ def load_matrix(name: str, bit_factor: float = 2.0,
         mask = np.arange(a) != x
         p[mask] *= 1.0 - p[x]
     prob = np.exp(lam * s_file) * p[:, None] * p[None, :]
-    # computeBackground: row sums of the joint distribution
+    # integer rescale uses the *row-sum* background with X pinned to
+    # ANY_BACK (generateSubMatrix -> computeBackground, BaseMatrix.cpp:96-130);
+    # everything else (bias correction, tantan ratios, ALP) uses the
+    # member background p.
     p2 = prob.sum(axis=1)
+    p2[a - 1] = ANY_BACK
     with np.errstate(divide="ignore"):
         sub_float = bit_factor * np.log2(prob / (p2[:, None] * p2[None, :])) + score_bias
     scores = np.where(sub_float < 0.0, sub_float - 0.5, sub_float + 0.5).astype(np.int32)
-    return ScoringMatrix(os.path.basename(path), alphabet, scores, p2, prob,
+    return ScoringMatrix(os.path.basename(path), alphabet, scores, p, prob,
                          lam, bit_factor, sub_float)
 
 

@@ -1,0 +1,359 @@
+"""k-mer prefilter: spaced-seed index, similar-k-mer matching, ungapped
+diagonal rescoring, per-query candidate selection.
+
+Parity targets (see docs/SEARCH_SEMANTICS.md):
+  IndexBuilder::fillDatabase     (index construction + tantan masking)
+  QueryMatcher::match/matchQuery (k-mer matching + thresholds)
+  KmerGenerator                  (similar k-mer set = exact threshold set)
+  UngappedAlignment              (diagonal rescoring with VTML40@2)
+
+This round-1 engine is vectorized NumPy, organized so the hot pieces
+(unique-code scoring, diagonal rescoring) are batched array ops; the
+Pallas postings-gather kernel replaces the inner matching at scale.
+"""
+import os
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+
+from .bias import local_aa_bias, round_half_away
+from .matrices import ScoringMatrix, load_matrix
+from .tantan import likelihood_ratios, mask_sequence
+
+X_IDX = 20  # X in the 21-letter matrix alphabet
+
+
+@dataclass
+class PrefilterParams:
+    kmer_size: int = 6
+    spaced_pattern: str = "11011101"
+    sensitivity: float = 5.7
+    max_seqs: int = 1500
+    min_diag_score: int = 15
+    mask: bool = True
+    comp_bias_corr: bool = True
+    seed_matrix: str = "VTML80.out"
+    ungapped_matrix: str = "VTML40.out"
+    kmer_score: Optional[int] = None  # override kmer threshold
+
+    @property
+    def offsets(self) -> np.ndarray:
+        offs = np.flatnonzero(np.frombuffer(
+            self.spaced_pattern.encode(), dtype=np.uint8) == ord("1"))
+        if len(offs) != self.kmer_size:
+            raise ValueError("spaced pattern weight must equal k-mer size")
+        return offs
+
+    @property
+    def pattern_span(self) -> int:
+        return len(self.spaced_pattern)
+
+    def kmer_threshold(self) -> int:
+        """Prefiltering::getKmerThreshold (Prefiltering.cpp:987-1020)."""
+        if self.kmer_score is not None:
+            return self.kmer_score
+        base_by_k = {5: (160.75, 12.75), 6: (163.2, 8.917), 7: (186.15, 11.22)}
+        base, slope = base_by_k[self.kmer_size]
+        return int(np.float32(base) - np.float32(self.sensitivity) * np.float32(slope))
+
+
+@dataclass
+class TargetIndex:
+    """Device/host representation of the searchable target side."""
+    seqs_masked: list                 # list of int64 arrays (matrix alphabet, masked)
+    seq_lengths: np.ndarray
+    # postings, sorted by code: one entry per (code, seq) at first position
+    codes: np.ndarray                 # int64 [P] spaced k-mer codes (base |A|-1)
+    post_seq: np.ndarray              # int32 [P]
+    post_pos: np.ndarray              # int32 [P]
+    uniq_codes: np.ndarray            # int64 [U]
+    uniq_start: np.ndarray            # int64 [U+1] offsets into postings
+    uniq_letters: np.ndarray          # int8 [U, k] decomposed letters
+    db_residues: int                  # total residues (unmasked lengths)
+
+
+def _spaced_codes(seq_num: np.ndarray, offsets: np.ndarray, span: int,
+                  alphabet: int):
+    """codes[i] for i in 0..L-span; valid = no X at informative offsets."""
+    L = len(seq_num)
+    n = L - span + 1
+    if n <= 0:
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=bool)
+    idx = np.arange(n)[:, None] + offsets[None, :]
+    letters = seq_num[idx]                                    # [n, k]
+    valid = (letters != X_IDX).all(axis=1)
+    base = alphabet
+    codes = np.zeros(n, dtype=np.int64)
+    for k in range(letters.shape[1]):
+        codes = codes * base + letters[:, k]
+    return codes, valid
+
+
+def build_target_index(aa_seqs: list, params: PrefilterParams) -> TargetIndex:
+    """aa_seqs: list of numeric target ORFs (matrix alphabet, unmasked)."""
+    seed_m = load_matrix(params.seed_matrix, 8.0)
+    offsets = params.offsets
+    span = params.pattern_span
+    kmer_thr = params.kmer_threshold()
+    self_scores = np.diag(seed_m.scores).astype(np.int64)
+
+    ratios = likelihood_ratios(seed_m) if params.mask else None
+
+    masked_seqs = []
+    code_parts, seq_parts, pos_parts = [], [], []
+    db_residues = 0
+    for sid, seq in enumerate(aa_seqs):
+        seq = np.asarray(seq, dtype=np.int64)
+        db_residues += len(seq)
+        ms = mask_sequence(seq, ratios, X_IDX) if params.mask else seq
+        masked_seqs.append(ms)
+        codes, valid = _spaced_codes(ms, offsets, span, 20)
+        if len(codes) == 0:
+            continue
+        # self score filter (IndexTable::addKmerCount threshold)
+        kself = self_scores[ms[np.arange(len(codes))[:, None] + offsets[None, :]]].sum(axis=1)
+        valid &= kself >= kmer_thr
+        vpos = np.flatnonzero(valid)
+        if len(vpos) == 0:
+            continue
+        vcodes = codes[vpos]
+        # first occurrence per unique code within this sequence
+        order = np.argsort(vcodes, kind="stable")
+        sc = vcodes[order]
+        first = np.concatenate([[True], sc[1:] != sc[:-1]])
+        keep = order[first]
+        code_parts.append(vcodes[keep])
+        seq_parts.append(np.full(len(keep), sid, dtype=np.int32))
+        pos_parts.append(vpos[keep].astype(np.int32))
+
+    if code_parts:
+        codes = np.concatenate(code_parts)
+        post_seq = np.concatenate(seq_parts)
+        post_pos = np.concatenate(pos_parts)
+    else:
+        codes = np.zeros(0, dtype=np.int64)
+        post_seq = np.zeros(0, dtype=np.int32)
+        post_pos = np.zeros(0, dtype=np.int32)
+    order = np.lexsort((post_pos, post_seq, codes))
+    codes, post_seq, post_pos = codes[order], post_seq[order], post_pos[order]
+    uniq_codes, ustart = np.unique(codes, return_index=True)
+    uniq_start = np.concatenate([ustart, [len(codes)]]).astype(np.int64)
+    # decompose unique codes into letters
+    k = params.kmer_size
+    letters = np.zeros((len(uniq_codes), k), dtype=np.int8)
+    tmp = uniq_codes.copy()
+    for kk in range(k - 1, -1, -1):
+        letters[:, kk] = tmp % 20
+        tmp //= 20
+    return TargetIndex(
+        seqs_masked=masked_seqs,
+        seq_lengths=np.array([len(s) for s in aa_seqs], dtype=np.int64),
+        codes=codes, post_seq=post_seq, post_pos=post_pos,
+        uniq_codes=uniq_codes, uniq_start=uniq_start, uniq_letters=letters,
+        db_residues=db_residues,
+    )
+
+
+def ungapped_diagonal_score(profile: np.ndarray, tseq: np.ndarray,
+                            diag: int) -> int:
+    """Max local segment sum along one diagonal.
+
+    profile: [Lq, A] int per-position scores (substitution + aaCorr).
+    diag = i - j (query pos minus target pos), signed.
+    Mirrors UngappedAlignment::scalarDiagonalScoring + the diagonal
+    offset logic (UngappedAlignment.cpp:368-382).
+    """
+    lq = profile.shape[0]
+    lt = len(tseq)
+    if diag >= 0:
+        if diag >= lq:
+            return 0
+        ln = min(lt, lq - diag)
+        scores = profile[diag:diag + ln, :][np.arange(ln), tseq[:ln]]
+    else:
+        md = -diag
+        if md >= lt:
+            return 0
+        ln = min(lt - md, lq)
+        scores = profile[:ln, :][np.arange(ln), tseq[md:md + ln]]
+    run = 0
+    best = 0
+    # vectorized max-subarray-ending-here via cumulative min trick
+    c = np.cumsum(scores)
+    running_min = np.minimum.accumulate(np.concatenate([[0], c]))[:-1]
+    best = int(np.max(c - running_min, initial=0))
+    return best
+
+
+def _bin_bits(db_size: int) -> int:
+    """QueryMatcher::initDiagonalMatcher (QueryMatcher.cpp:383-410):
+    smallest BINSIZE in {2,4,...,2048} with db_size/BINSIZE < L2 cache."""
+    try:
+        l2 = os.sysconf("SC_LEVEL2_CACHE_SIZE")
+        if l2 <= 0:
+            l2 = 262144
+    except (ValueError, OSError):
+        l2 = 262144
+    for bits in range(1, 12):
+        if db_size // (1 << bits) < l2:
+            return bits
+    return 11
+
+
+@dataclass
+class PrefilterHit:
+    target: int
+    score: int
+    diagonal: int  # signed short semantics
+
+
+def prefilter_query(q_num: np.ndarray, index: TargetIndex,
+                    params: PrefilterParams,
+                    seed_m: Optional[ScoringMatrix] = None,
+                    ungapped_m: Optional[ScoringMatrix] = None) -> list:
+    """Match one query ORF; returns hits sorted like the reference rows."""
+    seed_m = seed_m or load_matrix(params.seed_matrix, 8.0)
+    ungapped_m = ungapped_m or load_matrix(params.ungapped_matrix, 2.0)
+    offsets = params.offsets
+    span = params.pattern_span
+    kmer_thr = params.kmer_threshold()
+
+    q_num = np.asarray(q_num, dtype=np.int64)
+    lq = len(q_num)
+    if params.comp_bias_corr:
+        bias80 = local_aa_bias(q_num, seed_m)
+    else:
+        bias80 = np.zeros(lq)
+
+    codes, valid = _spaced_codes(q_num, offsets, span, 20)
+    n_kmers = len(codes)
+    if n_kmers == 0 or len(index.uniq_codes) == 0:
+        return []
+
+    # QueryMatcher::match hashes query positions [indexStart, indexTo)
+    # where indexTo is the *last* k-mer position — i.e. the final k-mer
+    # position's matches are always dropped (CacheFriendlyOperations.cpp:43-46
+    # upper bound combined with QueryMatcher.cpp:289-293).
+    valid[n_kmers - 1] = False
+    kpos = np.flatnonzero(valid)
+    if len(kpos) == 0:
+        return []
+    # per-kmer threshold
+    kbias = round_half_away(bias80[kpos[:, None] + offsets[None, :]].sum(axis=1))
+    thr = np.maximum(kmer_thr - kbias, 0)
+
+    # score query kmers against all unique index codes:
+    # s[i, c] = sum_k S80[q[i+off_k], letters[c, k]]
+    s80 = seed_m.scores
+    qletters = q_num[kpos[:, None] + offsets[None, :]]        # [nk, k]
+    half = params.kmer_size // 2
+    s_part1 = np.zeros((len(kpos), len(index.uniq_codes)), dtype=np.int32)
+    s_part2 = np.zeros_like(s_part1)
+    for k in range(half):
+        s_part1 += s80[qletters[:, k]][:, index.uniq_letters[:, k].astype(np.int64)]
+    for k in range(half, params.kmer_size):
+        s_part2 += s80[qletters[:, k]][:, index.uniq_letters[:, k].astype(np.int64)]
+    hit_mask = (s_part1 + s_part2) >= thr[:, None]
+
+    # expand postings per (kmer i, unique code), preserving the reference
+    # match-stream order: query position ascending, then KmerGenerator's
+    # enumeration order (part1 score desc / code asc, then part2 score
+    # desc / code asc; KmerGenerator.cpp:107-183), then posting order.
+    ki, ci = np.nonzero(hit_mask)
+    if len(ki) == 0:
+        return []
+    pow1 = 20 ** np.arange(half - 1, -1, -1)
+    perm1 = (index.uniq_letters[:, :half].astype(np.int64) @ pow1)
+    perm2 = (index.uniq_letters[:, half:].astype(np.int64) @ pow1)
+    simkey = np.lexsort((perm2[ci], -s_part2[ki, ci],
+                         perm1[ci], -s_part1[ki, ci], ki))
+    ki, ci = ki[simkey], ci[simkey]
+
+    # flat match stream: (target, diagonal_u16) in reference order
+    starts = index.uniq_start
+    m_t, m_d = [], []
+    for a, c in zip(ki, ci):
+        i = kpos[a]
+        lo, hi = starts[c], starts[c + 1]
+        m_t.append(index.post_seq[lo:hi])
+        m_d.append((i - index.post_pos[lo:hi].astype(np.int64)) & 0xFFFF)
+    m_t = np.concatenate(m_t)
+    m_d = np.concatenate(m_d)
+
+    # double-diagonal filter (CacheFriendlyOperations::findDuplicates,
+    # CacheFriendlyOperations.cpp:146-225): targets are binned by
+    # seqId & (BINSIZE-1); the per-slot (seqId >> log2(BINSIZE)) state
+    # byte is shared across bins *without reset*, so bin b>0 inherits
+    # leftover state from bin b-1's stage B — reproduced exactly.
+    # Stage A keeps a match iff diagonal(u8) == slot state (initially 0:
+    # a first match on diagonal ≡ 0 mod 256 passes); stage B drops
+    # consecutive same-diagonal duplicates per slot.
+    bin_bits = _bin_bits(len(index.seq_lengths))
+    bin_mask = (1 << bin_bits) - 1
+    d_u8 = (m_d & 0xFF).astype(np.int64)
+    slots = {}
+    diag_sets = {}
+    for b in range(bin_mask + 1):
+        sel = (m_t & bin_mask) == b
+        kept = []  # (target, d16, d8) in stream order
+        for t, d16, d8 in zip(m_t[sel], m_d[sel], d_u8[sel]):
+            slot = int(t) >> bin_bits
+            if slots.get(slot, 0) == d8:
+                kept.append((int(t), int(d16), int(d8)))
+            slots[slot] = int(d8)
+        # stage B: reverse pass seeds slot = first-kept-diag + 1 (u8)
+        for t, d16, d8 in reversed(kept):
+            slots[t >> bin_bits] = (d8 + 1) & 0xFF
+        for t, d16, d8 in kept:
+            slot = t >> bin_bits
+            if slots[slot] != d8:
+                diag_sets.setdefault(t, []).append(d16)
+            slots[slot] = d8
+
+    # ungapped rescoring profile: VTML40x2 + aaCorr (bias80/4 rounded)
+    aa_corr = round_half_away(bias80 / 4.0)
+    profile = ungapped_m.scores[q_num].astype(np.int64) + aa_corr[:, None]
+    # cap semantics (UngappedAlignment byte saturation)
+    sub_min = int(ungapped_m.scores.min())
+    u_bias = abs(sub_min) + abs(int(min(aa_corr.min(initial=0), 0)))
+    cap = 255 - u_bias
+
+    results = []
+    for t, dlist in diag_sets.items():
+        tseq = index.seqs_masked[t]
+        best = -1
+        best_d = 0
+        for d_u16 in dlist:  # candidate order; ties keep the first entry
+            d = d_u16 - 65536 if d_u16 >= 32768 else d_u16
+            sc = ungapped_diagonal_score(profile, tseq, d)
+            sc_cap = min(sc, cap)
+            if sc_cap > best:
+                best = sc_cap
+                best_d = d_u16
+                best_exact = sc
+        results.append((t, best, best_d, best_exact))
+
+    # histogram threshold (max_seqs cap)
+    hist = np.zeros(256, dtype=np.int64)
+    for _, sc, _, _ in results:
+        hist[min(sc, 255)] += 1
+    found = 0
+    thr_score = 0
+    for s in range(255, 0, -1):
+        found += hist[s]
+        if found >= params.max_seqs:
+            thr_score = s
+            break
+    thr_score = max(params.min_diag_score, thr_score)
+
+    hits = []
+    for t, sc, d_u16, sc_exact in results:
+        if sc < thr_score:
+            continue
+        out_score = sc_exact if sc >= cap else sc
+        d_signed = d_u16 - 65536 if d_u16 >= 32768 else d_u16
+        hits.append(PrefilterHit(t, out_score, d_signed))
+    hits.sort(key=lambda h: (-abs(h.score), h.target))
+    return hits[:params.max_seqs]
