@@ -1,0 +1,363 @@
+"""Gapped Smith-Waterman alignment with reference-exact conventions.
+
+Parity targets:
+  SmithWaterman::ssw_align / sw_sse2_byte|word
+    (lib/mmseqs/src/alignment/StripedSmithWaterman.cpp:134-278, 301-520):
+    affine gaps (first gap residue costs gap_open, further gap_extend),
+    end cell = first target column attaining a strictly greater running
+    max, min query row within that column; start cell via the reverse
+    pass with the same rule.
+  SmithWaterman::banded_sw (:781-980): growing-band DP with the exact
+    direction-code tie-breaking for the backtrace.
+  Matcher::getSWResult (lib/mmseqs/src/alignment/Matcher.cpp:61-187):
+    seqId = identities / backtrace length, bit score, E-value.
+  Alignment::run / checkCriteria (Alignment.cpp:255-, 555-574):
+    acceptance and (eval, score, dbLen, dbKey) result ordering.
+"""
+from dataclasses import dataclass
+from typing import Optional
+
+import numpy as np
+
+from .bias import local_aa_bias
+from .evalue import EvalueComputer, gumbel_params
+from .matrices import ScoringMatrix, load_matrix
+
+INT_MAX = 2 ** 31 - 1
+
+
+@dataclass
+class AlnParams:
+    matrix: str = "VTML40.out"
+    gap_open: int = 16
+    gap_extend: int = 2
+    evalue: float = 200.0
+    comp_bias_corr: bool = True
+    cov_thr: float = 0.0
+    cov_mode: int = 0
+    seq_id_thr: float = 0.0
+    aln_len_thr: int = 0
+    max_accept: int = INT_MAX
+    max_rejected: int = INT_MAX
+    add_backtrace: bool = True
+
+
+@dataclass
+class AlnResult:
+    target: int
+    raw_score: int
+    bit_score: int
+    seq_id: float
+    evalue: float
+    q_start: int
+    q_end: int
+    q_len: int
+    t_start: int
+    t_end: int
+    t_len: int
+    backtrace: str
+    q_cov: float = 0.0
+    t_cov: float = 0.0
+
+    def row_fields(self):
+        """Text record like Matcher::resultToBuffer (Matcher.cpp:323-369),
+        including fastSeqIdToBuffer's formatting (Util.cpp:278-307) and
+        its '1.00' quirk (the trailing '0' of '1.000' is overwritten by
+        the following tab)."""
+        return [str(self.target), str(self.bit_score),
+                format_seq_id(self.seq_id), f"{self.evalue:.3E}",
+                str(self.q_start), str(self.q_end), str(self.q_len),
+                str(self.t_start), str(self.t_end), str(self.t_len),
+                compress_backtrace(self.backtrace)]
+
+
+def format_seq_id(seq_id: float) -> str:
+    """fastSeqIdToBuffer: single-precision seqId*1000 truncated."""
+    f = np.float32(seq_id)
+    if f == np.float32(1.0):
+        return "1.00"
+    out = "0."
+    if f < np.float32(0.10):
+        out += "0"
+    if f < np.float32(0.01):
+        out += "0"
+    return out + str(int(f * np.float32(1000)))
+
+
+def compress_backtrace(bt: str) -> str:
+    """Matcher::compressAlignment run-length encoding (Matcher.cpp:214-233)."""
+    out = []
+    state = "M"  # reference starts in state 'M' with count 0
+    count = 0
+    for c in bt:
+        if c != state:
+            out.append(f"{count}{state}")
+            state = c
+            count = 1
+        else:
+            count += 1
+    out.append(f"{count}{state}")
+    return "".join(out)
+
+
+def decompress_backtrace(cbt: str) -> str:
+    out = []
+    count = 0
+    for c in cbt:
+        if c.isdigit():
+            count = count * 10 + int(c)
+        else:
+            out.append(c * (count if count else 1))
+            count = 0
+    return "".join(out)
+
+
+def sw_bias_i8(q_num: np.ndarray, matrix: ScoringMatrix) -> np.ndarray:
+    """ssw_init's int8 composition bias (StripedSmithWaterman.cpp:700-706)."""
+    b = local_aa_bias(q_num, matrix)
+    return np.where(b < 0.0, np.ceil(b - 0.5), np.floor(b + 0.5)).astype(np.int64)
+
+
+def _forward_pass(sub: np.ndarray, gap_open: int, gap_extend: int):
+    """Core SW over the substitution-score matrix sub[Lt, Lq].
+
+    Farrar semantics (sw_sse2_byte): H = max(0, diag+S, E, F);
+    E(i+1,j) = max(H_pre_lazyF(i,j) - gapO, E(i,j) - gapE) — the E
+    update reads H *before* the lazy-F correction, which disallows a
+    target-gap directly after a query-gap; all values saturate at 0.
+    Returns (score, t_end, q_end) with the reference's tie rules:
+    first target column attaining a strictly greater max, min query row
+    within that column.
+    """
+    lt, lq = sub.shape
+    H = np.zeros(lq, dtype=np.int64)
+    E = np.zeros(lq, dtype=np.int64)
+    best = 0
+    t_end = -1
+    q_end = lq - 1
+    for i in range(lt):
+        h_pre = np.concatenate(([0], H[:-1])) + sub[i]
+        np.maximum(h_pre, E, out=h_pre)
+        np.maximum(h_pre, 0, out=h_pre)
+        # E for the next column from the pre-F values
+        E = np.maximum(np.maximum(h_pre - gap_open, E - gap_extend), 0)
+        # lazy-F: h[j] = max(h_pre[j], F) with F from final h values
+        h = h_pre
+        f = 0
+        for j in range(lq):
+            hj = h[j]
+            if f > hj:
+                h[j] = hj = f
+            f = max(hj - gap_open, f - gap_extend, 0)
+        colmax = int(h.max()) if lq else 0
+        if colmax > best:
+            best = colmax
+            t_end = i
+            q_end = int(np.argmax(h == colmax))
+        H = h
+    return best, t_end, q_end
+
+
+def sw_align(q_num: np.ndarray, t_num: np.ndarray, matrix: ScoringMatrix,
+             params: AlnParams, evaluer: EvalueComputer,
+             bias: Optional[np.ndarray] = None) -> Optional[AlnResult]:
+    """Full alignment of one pair; returns None when nothing aligns."""
+    lq, lt = len(q_num), len(t_num)
+    if bias is None:
+        bias = np.zeros(lq, dtype=np.int64)
+    # per-position query profile scores: P[j][a] = S[q_j][a] + bias[j]
+    prof = matrix.scores[q_num].astype(np.int64) + bias[:, None]
+    sub = prof[:, t_num].T.copy()        # [Lt, Lq]
+
+    score, t_end, q_end = _forward_pass(sub, params.gap_open, params.gap_extend)
+    if t_end < 0:
+        return None
+
+    evalue = float(evaluer.evalue(score, lq))
+    # reverse pass on the prefix rectangle
+    sub_rev = sub[:t_end + 1, :q_end + 1][::-1, ::-1]
+    rscore, rt_end, rq_end = _forward_pass(sub_rev, params.gap_open, params.gap_extend)
+    assert rscore == score, (rscore, score)
+    t_start = t_end - rt_end
+    q_start = q_end - rq_end
+
+    q_cov = (q_end + 1 - q_start) / lq
+    t_cov = (t_end + 1 - t_start) / lt
+
+    backtrace, aa_ids = _banded_backtrace(
+        sub[t_start:t_end + 1, q_start:q_end + 1], score,
+        params.gap_open, params.gap_extend,
+        q_num[q_start:q_end + 1], t_num[t_start:t_end + 1])
+
+    aln_len = len(backtrace)
+    seq_id = aa_ids / aln_len if aln_len else 0.0
+    bit_score = int(evaluer.bit_score(score) + 0.5)
+    return AlnResult(
+        target=-1, raw_score=score, bit_score=bit_score,
+        seq_id=float(np.float32(seq_id)), evalue=evalue,
+        q_start=q_start, q_end=q_end, q_len=lq,
+        t_start=t_start, t_end=t_end, t_len=lt,
+        backtrace=backtrace, q_cov=q_cov, t_cov=t_cov)
+
+
+def _banded_backtrace(sub: np.ndarray, score: int, gap_open: int,
+                      gap_extend: int, q_sub: np.ndarray, t_sub: np.ndarray):
+    """banded_sw replica (StripedSmithWaterman.cpp:781-980).
+
+    sub: substitution+bias scores for the [start..end] rectangle,
+    indexed [target, query]. Returns (backtrace 'M/I/D' string, aaIds).
+    In the reference, i indexes the query and j the target.
+    """
+    db_len, query_length = sub.shape[0], sub.shape[1]
+    band_width = abs(db_len - query_length) + 1
+    NEG = -(1 << 30)
+
+    direction = None
+    while True:
+        width = band_width * 2 + 3
+        width_d = band_width * 2 + 1
+        h_b = [0] * (width + 2)
+        e_b = [0] * (width + 2)
+        h_c = [0] * (width + 2)
+        direction = [[0] * (width_d * 3) for _ in range(query_length)]
+        maxv = 0
+
+        def set_u(w, i, j):
+            x = i - w
+            x = x if x > 0 else 0
+            return j - x + 1
+
+        def set_d(w, i, j, p):
+            x = i - w
+            x = x if x > 0 else 0
+            return (j - x) * 3 + p
+
+        for j in range(1, width - 1):
+            h_b[j] = 0
+        for i in range(query_length):
+            beg = max(0, i - band_width)
+            end = min(db_len - 1, i + band_width)
+            edge = min(end + 1, width - 1)
+            f = h_b[0] = e_b[0] = h_b[edge] = e_b[edge] = h_c[0] = 0
+            dline = direction[i]
+            u = 0
+            for j in range(beg, end + 1):
+                u = set_u(band_width, i, j)
+                e_idx = set_u(band_width, i - 1, j)
+                b_idx = set_u(band_width, i, j - 1)
+                d_idx = set_u(band_width, i - 1, j - 1)
+                de = set_d(band_width, i, j, 0)
+                df = set_d(band_width, i, j, 1)
+                dh = set_d(band_width, i, j, 2)
+
+                temp1 = -gap_open if i == 0 else h_b[e_idx] - gap_open
+                temp2 = -gap_extend if i == 0 else e_b[e_idx] - gap_extend
+                e_b[u] = temp1 if temp1 > temp2 else temp2
+                dline[de] = 3 if temp1 > temp2 else 2
+
+                temp1 = h_c[b_idx] - gap_open
+                temp2 = f - gap_extend
+                f = temp1 if temp1 > temp2 else temp2
+                dline[df] = 5 if temp1 > temp2 else 4
+
+                e1 = e_b[u] if e_b[u] > 0 else 0
+                f1 = f if f > 0 else 0
+                temp1 = e1 if e1 > f1 else f1
+                temp2 = h_b[d_idx] + int(sub[j, i])
+                h_c[u] = temp1 if temp1 > temp2 else temp2
+                if h_c[u] > maxv:
+                    maxv = h_c[u]
+                if temp1 <= temp2:
+                    dline[dh] = 1
+                else:
+                    dline[dh] = dline[de] if e1 > f1 else dline[df]
+            for j in range(1, u + 1):
+                h_b[j] = h_c[j]
+        if maxv >= score:
+            break
+        band_width *= 2
+
+    # traceback
+    i = query_length - 1
+    j = db_len - 1
+    state = 2  # h
+    ops = []
+    while i > 0 or j > 0:
+        idx = ((j - max(0, i - band_width)) * 3) + state
+        d = direction[i][idx]
+        if d == 1:
+            i -= 1; j -= 1; state = 2; ops.append("M")
+        elif d == 2:
+            i -= 1; state = 0; ops.append("I")
+        elif d == 3:
+            i -= 1; state = 2; ops.append("I")
+        elif d == 4:
+            j -= 1; state = 1; ops.append("D")
+        elif d == 5:
+            j -= 1; state = 2; ops.append("D")
+        else:
+            raise RuntimeError("traceback error")
+    # final cell handling (banded_sw: last op forced to M)
+    if ops and ops[-1] == "M":
+        ops.append("M")
+    else:
+        ops.append("M")
+    bt = "".join(reversed(ops))
+    # count identities along the backtrace
+    qp = tp = 0
+    aa_ids = 0
+    for op in bt:
+        if op == "M":
+            if qp < len(q_sub) and tp < len(t_sub) and q_sub[qp] == t_sub[tp]:
+                aa_ids += 1
+            qp += 1
+            tp += 1
+        elif op == "I":
+            qp += 1
+        else:
+            tp += 1
+    return bt, aa_ids
+
+
+def check_criteria(res: AlnResult, params: AlnParams) -> bool:
+    """Alignment::checkCriteria with cov mode 0 (bidirectional)."""
+    if res.evalue > params.evalue:
+        return False
+    if res.seq_id < params.seq_id_thr:
+        return False
+    if params.cov_thr > 0:
+        if res.q_cov < params.cov_thr or res.t_cov < params.cov_thr:
+            return False
+    if params.aln_len_thr > 0 and len(res.backtrace) < params.aln_len_thr:
+        return False
+    return True
+
+
+def align_query(q_num: np.ndarray, pref_targets: list, target_seqs: list,
+                matrix: ScoringMatrix, params: AlnParams,
+                evaluer: EvalueComputer) -> list:
+    """Align one query against its prefilter candidates, in order.
+
+    Returns accepted AlnResults sorted by (eval, -score, t_len, target)
+    like Matcher::compareHits.
+    """
+    bias = sw_bias_i8(q_num, matrix) if params.comp_bias_corr else None
+    out = []
+    accepted = 0
+    rejected = 0
+    for tid in pref_targets:
+        if accepted >= params.max_accept or rejected >= params.max_rejected:
+            break
+        res = sw_align(q_num, target_seqs[tid], matrix, params, evaluer, bias)
+        if res is None:
+            rejected += 1
+            continue
+        res.target = tid
+        if check_criteria(res, params):
+            out.append(res)
+            accepted += 1
+            rejected = 0
+        else:
+            rejected += 1
+    out.sort(key=lambda r: (r.evalue, -r.raw_score, r.t_len, r.target))
+    return out
