@@ -1,0 +1,136 @@
+"""The predictmatch pipeline: search -> aggregate -> calibrate -> report.
+
+In-memory re-design of data/predictmatch.sh:27-294 — one orchestrator
+instead of a tree of processes; arrays instead of text DB files. Each
+stage mirrors its reference module (citations in the stage modules).
+"""
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+
+from ..alphabet import encode_aa
+from ..io.setdb import SetDB
+from ..ops.align import AlnParams, align_query
+from ..ops.evalue import EvalueComputer, gumbel_params
+from ..ops.matrices import load_matrix
+from ..ops.prefilter import PrefilterParams, build_target_index, prefilter_query
+from ..report.convert import convert_alignments, merge_entries_by_set
+from ..report.nuclaln import combine_prot_nucl, protein_aln_to_nucl
+from ..report.offsets import offset_alignments, truncate_best_hits
+from ..report.pam import find_pam
+from ..report.summarize import summarize_results
+from ..stats.aggregation import best_hit_per_set, combine_score, merge_results_by_set
+from ..stats.fdr import filter_match_by_fdr
+
+
+@dataclass
+class PredictParams:
+    prefilter: PrefilterParams = field(default_factory=PrefilterParams)
+    align: AlnParams = field(default_factory=AlnParams)
+    fdr: float = 0.05
+    tax_fdr: float = 0.02
+    fmt: int = 1
+    report_fdr: bool = False
+    report_pam: bool = True
+    perform_nucl_aln: bool = True
+    nucl_gap_open: int = 10
+    nucl_gap_extend: int = 2
+
+
+def search_setdbs(query_db: SetDB, target_db: SetDB,
+                  params: PredictParams) -> dict:
+    """Translated search: prefilter + SW on AA ORFs; optional nucleotide
+    re-alignment merge. Returns {query_orf_key: 11-col text rows}."""
+    t_aa = [encode_aa(target_db.orf_aa(i).tobytes())
+            for i in range(target_db.n_orfs)]
+    index = build_target_index(t_aa, params.prefilter)
+    m40 = load_matrix(params.align.matrix, 2.0)
+    evaluer = EvalueComputer(
+        gumbel_params(params.align.matrix, params.align.gap_open,
+                      params.align.gap_extend),
+        sum(len(t) for t in t_aa))
+
+    prot = {}
+    for qkey in range(query_db.n_orfs):
+        q = encode_aa(query_db.orf_aa(qkey).tobytes())
+        hits = prefilter_query(q, index, params.prefilter)
+        results = align_query(q, [h.target for h in hits], t_aa, m40,
+                              params.align, evaluer)
+        prot[qkey] = [r.row_fields() for r in results]
+
+    if not params.perform_nucl_aln:
+        return prot
+
+    q_nucl = {k: query_db.orf_nucl(k) for k in prot.keys()}
+    t_nucl = {int(r[0]): None for rows in prot.values() for r in rows}
+    for tkey in t_nucl:
+        t_nucl[tkey] = target_db.orf_nucl(tkey)
+    nucl_ev = EvalueComputer(
+        gumbel_params("nucleotide.out", params.nucl_gap_open,
+                      params.nucl_gap_extend),
+        int(np.diff(target_db.orf_nucl_offsets).sum()))
+    nucl = protein_aln_to_nucl(prot, q_nucl, t_nucl, nucl_ev,
+                               params.nucl_gap_open, params.nucl_gap_extend)
+    return combine_prot_nucl(prot, nucl)
+
+
+def _aggregate_chain(result: dict, query_db: SetDB, target_db: SetDB):
+    """besthitperset -> mergeresultsbyset -> combinescore."""
+    t_m2s = target_db.orf_to_set
+    t_sizes = target_db.set_size
+    aggregate = {k: best_hit_per_set(rows, t_m2s, t_sizes)
+                 for k, rows in result.items()}
+    q_m2s = query_db.orf_to_set
+    set_to_members = {}
+    for okey in range(query_db.n_orfs):
+        set_to_members.setdefault(int(q_m2s[okey]), []).append(okey)
+    merged = merge_results_by_set(aggregate, dict(sorted(set_to_members.items())))
+    cscore = {qset: combine_score(rows, int(query_db.set_size[qset]), t_m2s)
+              for qset, rows in merged.items()}
+    return aggregate, cscore
+
+
+@dataclass
+class PredictResult:
+    text: str
+    match: dict
+    cscore: dict
+    cscore_rev: dict
+    aln_merged: dict
+    aggregate: dict
+    truncated: dict
+    messages: list
+
+
+def predict_match(query_db: SetDB, target_db: SetDB, control_db: SetDB,
+                  params: Optional[PredictParams] = None,
+                  taxonomy=None) -> PredictResult:
+    params = params or PredictParams()
+
+    result = search_setdbs(query_db, target_db, params)
+    aggregate, cscore = _aggregate_chain(result, query_db, target_db)
+
+    result_rev = search_setdbs(query_db, control_db, params)
+    _, cscore_rev = _aggregate_chain(result_rev, query_db, control_db)
+
+    match, messages = filter_match_by_fdr(cscore, cscore_rev, params.fdr,
+                                          params.report_fdr)
+
+    q_set_size_of = {okey: int(query_db.set_size[query_db.orf_to_set[okey]])
+                     for okey in range(query_db.n_orfs)}
+    truncated = truncate_best_hits(aggregate, q_set_size_of)
+    offset = offset_alignments(truncated, query_db, target_db)
+    with_tax = target_db.contig_taxid is not None
+    aln = convert_alignments(offset, query_db, target_db, with_tax)
+    set_to_contigs = {}
+    for c in range(query_db.n_contigs):
+        set_to_contigs.setdefault(int(query_db.contig_to_set[c]), []).append(c)
+    aln_merged = merge_entries_by_set(aln, set_to_contigs)
+    if params.report_pam:
+        aln_merged = find_pam(aln_merged, target_db)
+
+    text = summarize_results(match, aln_merged, params.fmt, params.report_fdr,
+                             taxonomy=None)
+    return PredictResult(text, match, cscore, cscore_rev, aln_merged,
+                         aggregate, truncated, messages)
