@@ -158,7 +158,9 @@ def build_setdb_from_fasta(files: list, spacer_mode: bool = False,
                            reverse_fragments: bool = False,
                            orf_min_length: Optional[int] = None,
                            orf_max_length: int = 32734,
-                           translation_table: int = 1) -> SetDB:
+                           translation_table: int = 1,
+                           tax_mapping_file: Optional[str] = None,
+                           taxdump_dir: Optional[str] = None) -> SetDB:
     """FASTA files -> SetDB. One set per input file."""
     contigs, accs, headers, c2s, set_names = [], [], [], [], []
     for fi, path in enumerate(files):
@@ -168,22 +170,48 @@ def build_setdb_from_fasta(files: list, spacer_mode: bool = False,
             accs.append(parse_fasta_header_accession(e.header))
             headers.append(e.header)
             c2s.append(fi)
-    return _assemble(contigs, accs, headers, c2s, set_names, spacer_mode,
-                     reverse_fragments, orf_min_length, orf_max_length,
-                     translation_table)
+    db = _assemble(contigs, accs, headers, c2s, set_names, spacer_mode,
+                   reverse_fragments, orf_min_length, orf_max_length,
+                   translation_table)
+    _attach_taxonomy(db, tax_mapping_file, taxdump_dir)
+    return db
 
 
 def build_setdb_from_spacers(records: list, set_names: list,
                              reverse_fragments: bool = False,
                              orf_max_length: int = 32734,
-                             translation_table: int = 1) -> SetDB:
+                             translation_table: int = 1,
+                             tax_mapping_file: Optional[str] = None,
+                             taxdump_dir: Optional[str] = None) -> SetDB:
     """parsespacer records -> SetDB (spacer mode: partial ORFs >= 9 codons)."""
     contigs = [np.frombuffer(r.seq, dtype=np.uint8).copy() for r in records]
     accs = [r.accession for r in records]
     headers = [r.header for r in records]
     c2s = [r.file_idx for r in records]
-    return _assemble(contigs, accs, headers, c2s, set_names, True,
-                     reverse_fragments, None, orf_max_length, translation_table)
+    db = _assemble(contigs, accs, headers, c2s, set_names, True,
+                   reverse_fragments, None, orf_max_length, translation_table)
+    _attach_taxonomy(db, tax_mapping_file, taxdump_dir)
+    return db
+
+
+def _attach_taxonomy(db: "SetDB", tax_mapping_file: Optional[str],
+                     taxdump_dir: Optional[str]):
+    """Set-level taxid mapping by source file name (the reference's
+    createsetdb.sh:146-166 awk join on OUTDB.source), propagated to
+    contigs and ORFs like the generated _mapping files."""
+    if tax_mapping_file is None:
+        return
+    name_to_taxid = {}
+    with open(tax_mapping_file) as fh:
+        for line in fh:
+            parts = line.rstrip("\n").split("\t")
+            if len(parts) >= 2:
+                name_to_taxid[parts[0]] = int(parts[1])
+    db.set_taxid = np.array(
+        [name_to_taxid.get(n, 0) for n in db.set_names], dtype=np.int64)
+    db.contig_taxid = db.set_taxid[db.contig_to_set]
+    db.orf_taxid = db.set_taxid[db.orf_to_set]
+    db.taxdump_path = taxdump_dir
 
 
 def _assemble(contigs, accs, headers, c2s, set_names, spacer_mode,

@@ -36,6 +36,8 @@ class PredictParams:
     perform_nucl_aln: bool = True
     nucl_gap_open: int = 10
     nucl_gap_extend: int = 2
+    restrict_ranks_mode: bool = True
+    rank_min_seq_ids: tuple = (0.86, 0.84, 0.82, 0.80, 0.78, 0.76, 0.74, 0.72)
 
 
 def search_setdbs(query_db: SetDB, target_db: SetDB,
@@ -101,6 +103,8 @@ class PredictResult:
     aggregate: dict
     truncated: dict
     messages: list
+    lca_tsv: Optional[str] = None
+    lca_per_target_tsv: Optional[str] = None
 
 
 def predict_match(query_db: SetDB, target_db: SetDB, control_db: SetDB,
@@ -132,5 +136,49 @@ def predict_match(query_db: SetDB, target_db: SetDB, control_db: SetDB,
 
     text = summarize_results(match, aln_merged, params.fmt, params.report_fdr,
                              taxonomy=None)
-    return PredictResult(text, match, cscore, cscore_rev, aln_merged,
-                         aggregate, truncated, messages)
+    result = PredictResult(text, match, cscore, cscore_rev, aln_merged,
+                           aggregate, truncated, messages)
+
+    # taxonomy reports (data/predictmatch.sh:170-230)
+    from ..tax.lcasteps import (aggregate_tax, majority_lca_per_target,
+                                per_orf_lca, restrict_ranks)
+    from ..tax.ncbi import DEFAULT_RANKS, load_taxonomy
+
+    ranks = DEFAULT_RANKS.split(",")
+    if target_db.orf_taxid is not None and target_db.taxdump_path:
+        taxonomy = load_taxonomy(target_db.taxdump_path)
+        blacklist = taxonomy.parse_blacklist()
+        orf_lca = per_orf_lca(truncated, target_db.orf_taxid, taxonomy,
+                              ranks, blacklist)
+        members_by_spacer = {}
+        for okey in range(query_db.n_orfs):
+            members_by_spacer.setdefault(
+                int(query_db.orf_contig[okey]), []).append(okey)
+        spacer_lca = aggregate_tax(orf_lca, members_by_spacer, taxonomy, ranks)
+        lines = []
+        for ckey in sorted(spacer_lca.keys()):
+            lines.append(query_db.contig_accession[ckey] + "\t"
+                         + "\t".join(spacer_lca[ckey]))
+        result.lca_tsv = "\n".join(lines) + ("\n" if lines else "")
+
+    if query_db.set_taxid is not None and query_db.taxdump_path:
+        taxonomy = load_taxonomy(query_db.taxdump_path)
+        blacklist = taxonomy.parse_blacklist()
+        match_tax, _ = filter_match_by_fdr(cscore, cscore_rev, params.tax_fdr)
+        match_swapped = {}
+        for qset in sorted(match_tax.keys()):
+            for row in match_tax[qset]:
+                match_swapped.setdefault(int(row[0]), []).append(
+                    [str(qset), row[1], row[2]])
+        per_target = majority_lca_per_target(
+            match_swapped, query_db.set_taxid, taxonomy, ranks, blacklist)
+        if params.restrict_ranks_mode:
+            per_target = restrict_ranks(per_target, match_swapped, taxonomy,
+                                        ranks, params.rank_min_seq_ids)
+        lines = []
+        for tset in sorted(per_target.keys()):
+            lines.append(target_db.set_names[tset] + "\t"
+                         + "\t".join(per_target[tset]))
+        result.lca_per_target_tsv = "\n".join(lines) + ("\n" if lines else "")
+
+    return result

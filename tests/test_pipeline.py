@@ -52,3 +52,52 @@ def test_fmt0_and_fmt2(dbs):
     gt = [i for i, l in enumerate(lines) if l.startswith(">")]
     assert gt and all(set(lines[i + 1]) <= set("ACGTUNRYSWKMBDHV-acgtn")
                       for i in gt)
+
+
+@pytest.fixture(scope="module")
+def tax_dbs(examples_dir):
+    genomes = sorted(glob.glob(os.path.join(examples_dir, "GCA_*.fna.gz")))
+    taxdump = os.path.join(examples_dir, "ncbi_taxdump")
+    tdb = build_setdb_from_fasta(
+        genomes, tax_mapping_file=os.path.join(examples_dir, "genome_taxa.tsv"),
+        taxdump_dir=taxdump)
+    cdb = build_setdb_from_fasta(genomes, reverse_fragments=True)
+    recs, sources = parse_spacers(
+        sorted(glob.glob(os.path.join(examples_dir, "*.fas"))))
+    qdb = build_setdb_from_spacers(
+        recs, sources, tax_mapping_file=os.path.join(examples_dir, "spacer_taxa.tsv"),
+        taxdump_dir=taxdump)
+    return qdb, tdb, cdb
+
+
+def test_taxonomy_outputs_match_reference(tax_dbs, golden):
+    qdb, tdb, cdb = tax_dbs
+    res = predict_match(qdb, tdb, cdb)
+    with open(os.path.join(golden, "result.tsv_lca.tsv")) as fh:
+        golden_rows = sorted(fh.read().rstrip("\n").split("\n"))
+    mine_rows = sorted(res.lca_tsv.rstrip("\n").split("\n"))
+    assert mine_rows == golden_rows
+    with open(os.path.join(golden, "result.tsv_lca_per_target.tsv")) as fh:
+        assert res.lca_per_target_tsv == fh.read()
+
+
+def test_regression_lca_invariants(tax_dbs):
+    """util/run_regression.sh checks 2+3."""
+    qdb, tdb, cdb = tax_dbs
+    res = predict_match(qdb, tdb, cdb)
+    listeria = burkholderia = other = 0
+    for line in res.lca_tsv.rstrip("\n").split("\n"):
+        taxid = int(line.split("\t")[1])
+        if taxid == 40521:
+            listeria += 1
+        elif taxid == 244310:
+            burkholderia += 1
+        elif taxid != 0:
+            other += 1
+    assert (listeria, burkholderia, other) == (5, 1, 0)
+    expect = {"GCA_000836905.1_ViralProj14035_genomic.fna.gz": 0,
+              "GCA_000845445.1_ViralProj14409_genomic.fna.gz": 28216,
+              "GCA_000849645.1_ViralProj14589_genomic.fna.gz": 1639}
+    for line in res.lca_per_target_tsv.rstrip("\n").split("\n"):
+        f = line.split("\t")
+        assert expect[f[0]] == int(f[1])
