@@ -1,0 +1,228 @@
+"""spacepharer_tpu command-line interface.
+
+Mirrors the reference's product CLI (src/spacepharer.cpp:17-136):
+  easy-predict, parsespacer, createsetdb, predictmatch, downloaddb
+plus expert commands. Flags and defaults follow
+src/commons/LocalParameters.h:167-181 and the workflow set*Defaults.
+
+Usage:
+  python -m spacepharer_tpu easy-predict <spacer files...> <targetSetDB> \
+      <output.tsv> <tmpDir> [flags]
+  python -m spacepharer_tpu createsetdb <fasta...> <outSetDB> <tmpDir> [flags]
+  python -m spacepharer_tpu predictmatch <querySetDB> <targetSetDB> \
+      <controlSetDB> <output.tsv> <tmpDir> [flags]
+  python -m spacepharer_tpu parsespacer <files...|dir|.tsv> <outDB> [flags]
+  python -m spacepharer_tpu downloaddb <name|url-tsv> <outSetDB> <tmpDir>
+"""
+import argparse
+import os
+import sys
+import time
+
+from .io.setdb import SetDB, build_setdb_from_fasta, build_setdb_from_spacers
+from .io.spacer_formats import collect_input_files, parse_spacers
+from .pipeline.predictmatch import PredictParams, predict_match
+from .ops.align import AlnParams
+from .ops.prefilter import PrefilterParams
+
+
+def _add_predict_flags(p):
+    p.add_argument("--fdr", type=float, default=0.05,
+                   help="FDR cutoff for filtering matches")
+    p.add_argument("--tax-fdr", type=float, default=0.02,
+                   help="FDR cutoff for taxonomy report")
+    p.add_argument("--fmt", type=int, default=1, choices=(0, 1, 2),
+                   help="0: matches, 1: +hits, 2: +nucl alignment")
+    p.add_argument("--report-fdr", type=int, default=0, choices=(0, 1))
+    p.add_argument("--report-pam", type=int, default=1, choices=(0, 1))
+    p.add_argument("--perform-nucl-aln", type=int, default=1, choices=(0, 1))
+    p.add_argument("--restrict-ranks-mode", type=int, default=1, choices=(0, 1))
+    p.add_argument("--rank-min-seq-ids", type=str,
+                   default="0.86,0.84,0.82,0.80,0.78,0.76,0.74,0.72")
+    p.add_argument("-s", "--sensitivity", type=float, default=5.7)
+    p.add_argument("-k", "--kmer-size", type=int, default=6)
+    p.add_argument("--spaced-kmer-pattern", type=str, default="11011101")
+    p.add_argument("--max-seqs", type=int, default=1500)
+    p.add_argument("-e", "--evalue", type=float, default=200.0)
+    p.add_argument("--gap-open", type=int, default=16)
+    p.add_argument("--gap-extend", type=int, default=2)
+    p.add_argument("--min-ungapped-score", type=int, default=15)
+    p.add_argument("--mask", type=int, default=1, choices=(0, 1))
+    p.add_argument("--comp-bias-corr", type=int, default=1, choices=(0, 1))
+    p.add_argument("--threads", type=int, default=0, help="0 = auto")
+
+
+def _add_createsetdb_flags(p):
+    p.add_argument("--reverse-fragments", type=int, default=0, choices=(0, 1))
+    p.add_argument("--extractorf-spacer", type=int, default=0, choices=(0, 1))
+    p.add_argument("--tax-mapping-file", type=str, default=None)
+    p.add_argument("--ncbi-tax-dump", type=str, default=None)
+    p.add_argument("--translation-table", type=int, default=1)
+    p.add_argument("--min-length", type=int, default=None,
+                   help="min ORF length in codons (default 30; spacer mode 9)")
+    p.add_argument("--max-length", type=int, default=32734)
+
+
+def _predict_params(args) -> PredictParams:
+    return PredictParams(
+        prefilter=PrefilterParams(
+            kmer_size=args.kmer_size, spaced_pattern=args.spaced_kmer_pattern,
+            sensitivity=args.sensitivity, max_seqs=args.max_seqs,
+            min_diag_score=args.min_ungapped_score, mask=bool(args.mask),
+            comp_bias_corr=bool(args.comp_bias_corr)),
+        align=AlnParams(gap_open=args.gap_open, gap_extend=args.gap_extend,
+                        evalue=args.evalue,
+                        comp_bias_corr=bool(args.comp_bias_corr)),
+        fdr=args.fdr, tax_fdr=args.tax_fdr, fmt=args.fmt,
+        report_fdr=bool(args.report_fdr), report_pam=bool(args.report_pam),
+        perform_nucl_aln=bool(args.perform_nucl_aln),
+        restrict_ranks_mode=bool(args.restrict_ranks_mode),
+        rank_min_seq_ids=tuple(float(x) for x in
+                               args.rank_min_seq_ids.split(",")))
+
+
+def _write_outputs(res, out_path: str):
+    with open(out_path, "w") as fh:
+        fh.write(res.text)
+    if res.lca_tsv is not None:
+        with open(out_path + "_lca.tsv", "w") as fh:
+            fh.write(res.lca_tsv)
+    if res.lca_per_target_tsv is not None:
+        with open(out_path + "_lca_per_target.tsv", "w") as fh:
+            fh.write(res.lca_per_target_tsv)
+    for msg in res.messages:
+        print(msg)
+    print(f"Results written to {out_path}")
+
+
+def cmd_createsetdb(argv):
+    p = argparse.ArgumentParser(prog="spacepharer createsetdb")
+    p.add_argument("inputs", nargs="+",
+                   help="FASTA files, output SetDB path, tmp dir")
+    _add_createsetdb_flags(p)
+    args = p.parse_args(argv)
+    if len(args.inputs) < 3:
+        p.error("need <fasta...> <outDB> <tmpDir>")
+    *files, out_db, tmp = args.inputs
+    os.makedirs(tmp, exist_ok=True)
+    t0 = time.time()
+    db = build_setdb_from_fasta(
+        files, spacer_mode=bool(args.extractorf_spacer),
+        reverse_fragments=bool(args.reverse_fragments),
+        orf_min_length=args.min_length, orf_max_length=args.max_length,
+        translation_table=args.translation_table,
+        tax_mapping_file=args.tax_mapping_file,
+        taxdump_dir=args.ncbi_tax_dump)
+    db.save(out_db)
+    print(f"createsetdb: {db.n_contigs} contigs, {db.n_orfs} ORFs, "
+          f"{db.n_sets} sets in {time.time()-t0:.1f}s -> {out_db}")
+    return 0
+
+
+def cmd_parsespacer(argv):
+    p = argparse.ArgumentParser(prog="spacepharer parsespacer")
+    p.add_argument("inputs", nargs="+", help="spacer files/dir/tsv + outDB")
+    p.add_argument("--file-include", type=str, default=".*")
+    p.add_argument("--file-exclude", type=str, default="^$")
+    args = p.parse_args(argv)
+    if len(args.inputs) < 2:
+        p.error("need <files...> <outDB>")
+    *inputs, out_db = args.inputs
+    files = collect_input_files(inputs, args.file_include, args.file_exclude)
+    records, sources = parse_spacers(files)
+    import json
+    import numpy as np
+    os.makedirs(os.path.dirname(out_db) or ".", exist_ok=True)
+    with open(out_db + ".spacers.tsv", "w") as fh:
+        for i, r in enumerate(records):
+            fh.write(f"{i}\t{r.header}\t{r.file_idx}\t"
+                     f"{r.seq.decode('ascii')}\n")
+    with open(out_db + ".sources.tsv", "w") as fh:
+        for i, s in enumerate(sources):
+            fh.write(f"{i}\t{s}\n")
+    print(f"parsespacer: {len(records)} spacers from {len(sources)} files "
+          f"-> {out_db}.spacers.tsv")
+    return 0
+
+
+def cmd_predictmatch(argv):
+    p = argparse.ArgumentParser(prog="spacepharer predictmatch")
+    p.add_argument("querySetDB")
+    p.add_argument("targetSetDB")
+    p.add_argument("controlSetDB")
+    p.add_argument("output")
+    p.add_argument("tmpDir")
+    _add_predict_flags(p)
+    args = p.parse_args(argv)
+    qdb = SetDB.load(args.querySetDB)
+    tdb = SetDB.load(args.targetSetDB)
+    cdb = SetDB.load(args.controlSetDB)
+    res = predict_match(qdb, tdb, cdb, _predict_params(args))
+    _write_outputs(res, args.output)
+    return 0
+
+
+def cmd_easy_predict(argv):
+    p = argparse.ArgumentParser(prog="spacepharer easy-predict")
+    p.add_argument("inputs", nargs="+",
+                   help="spacer files..., targetSetDB, output.tsv, tmpDir")
+    _add_predict_flags(p)
+    p.add_argument("--tax-mapping-file", type=str, default=None)
+    p.add_argument("--ncbi-tax-dump", type=str, default=None)
+    args = p.parse_args(argv)
+    if len(args.inputs) < 4:
+        p.error("need <spacer files...> <targetSetDB> <output.tsv> <tmpDir>")
+    *files, target, output, tmp = args.inputs
+    os.makedirs(tmp, exist_ok=True)
+    records, sources = parse_spacers(collect_input_files(files))
+    qdb = build_setdb_from_spacers(records, sources,
+                                   tax_mapping_file=args.tax_mapping_file,
+                                   taxdump_dir=args.ncbi_tax_dump)
+    tdb = SetDB.load(target)
+    control = target + "_rev"
+    if not SetDB.exists(control):
+        p.error(f"control SetDB {control} not found; run createsetdb with "
+                "--reverse-fragments 1")
+    cdb = SetDB.load(control)
+    res = predict_match(qdb, tdb, cdb, _predict_params(args))
+    _write_outputs(res, output)
+    return 0
+
+
+def cmd_downloaddb(argv):
+    p = argparse.ArgumentParser(prog="spacepharer downloaddb")
+    p.add_argument("name", help="catalog name or URL-list tsv")
+    p.add_argument("outSetDB")
+    p.add_argument("tmpDir")
+    p.add_argument("--reverse-setdb", type=int, default=1, choices=(0, 1))
+    args = p.parse_args(argv)
+    from .pipeline.downloaddb import download_db
+    return download_db(args.name, args.outSetDB, args.tmpDir,
+                       bool(args.reverse_setdb))
+
+
+COMMANDS = {
+    "easy-predict": cmd_easy_predict,
+    "createsetdb": cmd_createsetdb,
+    "predictmatch": cmd_predictmatch,
+    "parsespacer": cmd_parsespacer,
+    "downloaddb": cmd_downloaddb,
+}
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if not argv or argv[0] in ("-h", "--help"):
+        print(__doc__)
+        print("Commands:", ", ".join(COMMANDS))
+        return 0
+    cmd = argv[0]
+    if cmd not in COMMANDS:
+        print(f"Unknown command {cmd!r}. Commands: {', '.join(COMMANDS)}",
+              file=sys.stderr)
+        return 1
+    return COMMANDS[cmd](argv[1:])
+
+
+if __name__ == "__main__":
+    sys.exit(main())
