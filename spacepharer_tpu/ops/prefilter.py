@@ -20,7 +20,7 @@ import numpy as np
 
 from .bias import local_aa_bias, round_half_away
 from .matrices import ScoringMatrix, load_matrix
-from .tantan import likelihood_ratios, mask_sequence
+from .tantan import likelihood_ratios, mask_sequences_batch
 
 X_IDX = 20  # X in the 21-letter matrix alphabet
 
@@ -99,15 +99,20 @@ def build_target_index(aa_seqs: list, params: PrefilterParams) -> TargetIndex:
     kmer_thr = params.kmer_threshold()
     self_scores = np.diag(seed_m.scores).astype(np.int64)
 
-    ratios = likelihood_ratios(seed_m) if params.mask else None
+    if params.mask:
+        ratios = likelihood_ratios(seed_m)
+        masked_all = mask_sequences_batch(
+            [np.asarray(s, dtype=np.int64) for s in aa_seqs], ratios, X_IDX,
+            bucket_size=2048)
+    else:
+        masked_all = [np.asarray(s, dtype=np.int64) for s in aa_seqs]
 
     masked_seqs = []
     code_parts, seq_parts, pos_parts = [], [], []
     db_residues = 0
     for sid, seq in enumerate(aa_seqs):
-        seq = np.asarray(seq, dtype=np.int64)
         db_residues += len(seq)
-        ms = mask_sequence(seq, ratios, X_IDX) if params.mask else seq
+        ms = masked_all[sid]
         masked_seqs.append(ms)
         codes, valid = _spaced_codes(ms, offsets, span, 20)
         if len(codes) == 0:

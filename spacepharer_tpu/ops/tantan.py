@@ -112,3 +112,106 @@ def mask_sequence(seq_num: np.ndarray, ratios: np.ndarray, x_index: int,
     out = np.asarray(seq_num).copy()
     out[probs >= np.float32(min_mask_prob)] = x_index
     return out
+
+
+def repeat_probabilities_batch(seqs: list, ratios: np.ndarray,
+                               max_offset: int = MAX_CYCLE,
+                               repeat_prob: float = REPEAT_PROB,
+                               repeat_end_prob: float = REPEAT_END_PROB,
+                               decay: float = DECAY) -> list:
+    """Vectorized tantan over a batch of sequences at once.
+
+    Identical arithmetic (and therefore bit-identical float64 results)
+    to repeat_probabilities, with the batch on the leading axis; per-
+    position state updates are masked for sequences already past their
+    end, so a bucket can mix lengths.
+    """
+    B = len(seqs)
+    if B == 0:
+        return []
+    lens = np.array([len(s) for s in seqs], dtype=np.int64)
+    L = int(lens.max())
+    if L == 0:
+        return [np.zeros(0, dtype=np.float32) for _ in seqs]
+    seq_mat = np.zeros((B, L), dtype=np.int64)
+    for i, s in enumerate(seqs):
+        seq_mat[i, :len(s)] = s
+
+    b2b = 1.0 - repeat_prob
+    f2b = repeat_end_prob
+    f2f0 = 1.0 - repeat_end_prob
+    b2f_first = repeat_prob * (1 - decay) / (1 - decay ** max_offset)
+    b2f = b2f_first * decay ** np.arange(max_offset)
+
+    fg = np.zeros((B, max_offset), dtype=np.float64)
+    bg = np.ones(B, dtype=np.float64)
+    letter_probs = np.zeros((B, L), dtype=np.float32)
+    scale_factors = np.zeros((B, max(L // SCALE_STEP, 1)), dtype=np.float64)
+    offs = np.arange(max_offset)
+
+    for t in range(L):
+        active = t < lens
+        m = min(t, max_offset)
+        if m > 0:
+            src = seq_mat[:, t - 1 - offs[:m]]           # [B, m]
+            em = ratios[seq_mat[:, t][:, None], src]
+            from_fg = fg[:, :m].sum(axis=1)
+            new_fg = (bg[:, None] * b2f[:m][None, :] + fg[:, :m] * f2f0) * em
+            fg[:, :m] = np.where(active[:, None], new_fg, fg[:, :m])
+        else:
+            from_fg = np.zeros(B)
+        bg = np.where(active, bg * b2b + from_fg * f2b, bg)
+        if t % SCALE_STEP == SCALE_STEP - 1:
+            scale = np.where(active, 1.0 / bg, 1.0)
+            scale_factors[:, t // SCALE_STEP] = np.where(
+                active, scale, scale_factors[:, t // SCALE_STEP])
+            bg = bg * scale
+            fg = fg * np.where(active, scale, 1.0)[:, None]
+        letter_probs[:, t] = np.where(active, bg.astype(np.float32),
+                                      letter_probs[:, t])
+
+    z = bg * b2b + fg.sum(axis=1) * f2b
+
+    bg = np.full(B, b2b, dtype=np.float64)
+    fg = np.full((B, max_offset), f2b, dtype=np.float64)
+    one = np.float32(1.0)
+    for t in range(L - 1, -1, -1):
+        active = t < lens
+        non_repeat = letter_probs[:, t].astype(np.float64) * bg / z
+        letter_probs[:, t] = np.where(
+            active, one - non_repeat.astype(np.float32), letter_probs[:, t])
+        if t % SCALE_STEP == SCALE_STEP - 1:
+            scale = np.where(active, scale_factors[:, t // SCALE_STEP], 1.0)
+            bg = bg * scale
+            fg = fg * scale[:, None]
+        m = min(t, max_offset)
+        to_bg = f2b * bg
+        if m > 0:
+            src = seq_mat[:, t - 1 - offs[:m]]
+            em = ratios[seq_mat[:, t][:, None], src]
+            femit = fg[:, :m] * em
+            to_fg = (b2f[:m][None, :] * femit).sum(axis=1)
+            fg[:, :m] = np.where(active[:, None], to_bg[:, None] + f2f0 * femit,
+                                 fg[:, :m])
+        else:
+            to_fg = np.zeros(B)
+        bg = np.where(active, b2b * bg + to_fg, bg)
+
+    return [letter_probs[i, :lens[i]] for i in range(B)]
+
+
+def mask_sequences_batch(seqs: list, ratios: np.ndarray, x_index: int,
+                         min_mask_prob: float = MIN_MASK_PROB,
+                         bucket_size: int = 512) -> list:
+    """Batched masking with length-sorted buckets (keeps padding small)."""
+    order = sorted(range(len(seqs)), key=lambda i: len(seqs[i]))
+    out = [None] * len(seqs)
+    thr = np.float32(min_mask_prob)
+    for start in range(0, len(order), bucket_size):
+        idxs = order[start:start + bucket_size]
+        probs = repeat_probabilities_batch([seqs[i] for i in idxs], ratios)
+        for i, p in zip(idxs, probs):
+            s = np.asarray(seqs[i]).copy()
+            s[p >= thr] = x_index
+            out[i] = s
+    return out
