@@ -1,0 +1,52 @@
+"""Native (C) hot-path components, built on demand with the system
+compiler and loaded via ctypes. Falls back to the NumPy implementations
+when no compiler is available."""
+import ctypes
+import os
+import subprocess
+import sys
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_LIB_PATH = os.path.join(_DIR, "_spacepharer_native.so")
+_SOURCES = [os.path.join(_DIR, "tantan_native.c")]
+
+_lib = None
+_tried = False
+
+
+def _build() -> bool:
+    cc = os.environ.get("CC", "cc")
+    cmd = [cc, "-O2", "-shared", "-fPIC", "-o", _LIB_PATH] + _SOURCES
+    try:
+        subprocess.run(cmd, check=True, capture_output=True)
+        return True
+    except (subprocess.CalledProcessError, FileNotFoundError) as e:
+        print(f"spacepharer_tpu: native build failed ({e}); "
+              "using NumPy fallbacks", file=sys.stderr)
+        return False
+
+
+def get_lib():
+    """Returns the loaded native library or None."""
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    newest_src = max(os.path.getmtime(s) for s in _SOURCES)
+    if (not os.path.exists(_LIB_PATH)
+            or os.path.getmtime(_LIB_PATH) < newest_src):
+        if not _build():
+            return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError:
+        return None
+    lib.tantan_mask_batch.restype = None
+    lib.tantan_mask_batch.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_int64,
+        ctypes.c_int, ctypes.c_double, ctypes.c_double, ctypes.c_double,
+        ctypes.c_double, ctypes.c_void_p,
+    ]
+    _lib = lib
+    return _lib

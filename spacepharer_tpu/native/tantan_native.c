@@ -1,0 +1,116 @@
+/* tantan repeat masking — native hot path.
+ *
+ * Scalar port of spacepharer_tpu.ops.tantan.repeat_probabilities with
+ * identical float64 operation order, so results are bit-identical to
+ * the Python/NumPy reference (which in turn matches the reference
+ * implementation's masks exactly; see tests/test_orf_translate.py and
+ * the golden-mask test). Compiled WITHOUT -ffast-math on purpose.
+ *
+ * Build: spacepharer_tpu/native/build.py (cc -O2 -shared -fPIC).
+ */
+#include <stdint.h>
+#include <stdlib.h>
+
+#define SCALE_STEP 16
+
+void tantan_probs(const int64_t *seq, int64_t n,
+                  const double *ratios, int64_t alphabet,
+                  int max_offset, double repeat_prob, double repeat_end_prob,
+                  double decay, double min_mask_prob, uint8_t *out_mask) {
+    if (n <= 0) return;
+
+    double b2b = 1.0 - repeat_prob;
+    double f2b = repeat_end_prob;
+    double f2f0 = 1.0 - repeat_end_prob;
+
+    double decay_pow = 1.0;
+    for (int i = 0; i < max_offset; i++) decay_pow *= decay;
+    double b2f_first = repeat_prob * (1 - decay) / (1 - decay_pow);
+
+    double *b2f = (double *)malloc(sizeof(double) * max_offset);
+    double *fg = (double *)calloc(max_offset, sizeof(double));
+    float *letter_probs = (float *)malloc(sizeof(float) * n);
+    int64_t n_scale = n / SCALE_STEP;
+    double *scale_factors =
+        (double *)malloc(sizeof(double) * (n_scale > 0 ? n_scale : 1));
+
+    double p = b2f_first;
+    for (int i = 0; i < max_offset; i++) { b2f[i] = p; p *= decay; }
+
+    double bg = 1.0;
+    for (int64_t t = 0; t < n; t++) {
+        int m = t < max_offset ? (int)t : max_offset;
+        double from_fg = 0.0;
+        if (m > 0) {
+            const double *row = ratios + seq[t] * alphabet;
+            /* match NumPy evaluation order: sum first, then update */
+            for (int i = 0; i < m; i++) from_fg += fg[i];
+            for (int i = 0; i < m; i++) {
+                double em = row[seq[t - 1 - i]];
+                fg[i] = (bg * b2f[i] + fg[i] * f2f0) * em;
+            }
+        }
+        bg = bg * b2b + from_fg * f2b;
+        if (t % SCALE_STEP == SCALE_STEP - 1) {
+            double scale = 1.0 / bg;
+            scale_factors[t / SCALE_STEP] = scale;
+            bg *= scale;
+            for (int i = 0; i < max_offset; i++) fg[i] *= scale;
+        }
+        letter_probs[t] = (float)bg;
+    }
+
+    double z = 0.0;
+    {
+        double from_fg = 0.0;
+        for (int i = 0; i < max_offset; i++) from_fg += fg[i];
+        z = bg * b2b + from_fg * f2b;
+    }
+
+    bg = b2b;
+    for (int i = 0; i < max_offset; i++) fg[i] = f2b;
+    for (int64_t t = n - 1; t >= 0; t--) {
+        double non_repeat = (double)letter_probs[t] * bg / z;
+        letter_probs[t] = 1.0f - (float)non_repeat;
+        if (t % SCALE_STEP == SCALE_STEP - 1) {
+            double scale = scale_factors[t / SCALE_STEP];
+            bg *= scale;
+            for (int i = 0; i < max_offset; i++) fg[i] *= scale;
+        }
+        int m = t < max_offset ? (int)t : max_offset;
+        double to_bg = f2b * bg;
+        double to_fg = 0.0;
+        if (m > 0) {
+            const double *row = ratios + seq[t] * alphabet;
+            for (int i = 0; i < m; i++) {
+                double femit = fg[i] * row[seq[t - 1 - i]];
+                to_fg += b2f[i] * femit;
+                fg[i] = to_bg + f2f0 * femit;
+            }
+        }
+        bg = b2b * bg + to_fg;
+    }
+
+    for (int64_t t = 0; t < n; t++)
+        out_mask[t] = letter_probs[t] >= (float)min_mask_prob ? 1 : 0;
+
+    free(scale_factors);
+    free(letter_probs);
+    free(fg);
+    free(b2f);
+}
+
+/* Batch driver: seqs concatenated with offsets. */
+void tantan_mask_batch(const int64_t *flat, const int64_t *offsets,
+                       int64_t n_seqs, const double *ratios, int64_t alphabet,
+                       int max_offset, double repeat_prob,
+                       double repeat_end_prob, double decay,
+                       double min_mask_prob, uint8_t *out_mask) {
+    for (int64_t s = 0; s < n_seqs; s++) {
+        int64_t start = offsets[s];
+        int64_t len = offsets[s + 1] - start;
+        tantan_probs(flat + start, len, ratios, alphabet, max_offset,
+                     repeat_prob, repeat_end_prob, decay, min_mask_prob,
+                     out_mask + start);
+    }
+}

@@ -203,7 +203,11 @@ def repeat_probabilities_batch(seqs: list, ratios: np.ndarray,
 def mask_sequences_batch(seqs: list, ratios: np.ndarray, x_index: int,
                          min_mask_prob: float = MIN_MASK_PROB,
                          bucket_size: int = 512) -> list:
-    """Batched masking with length-sorted buckets (keeps padding small)."""
+    """Batched masking; native C when available, else NumPy buckets."""
+    from ..native import get_lib
+    lib = get_lib()
+    if lib is not None:
+        return _mask_native(lib, seqs, ratios, x_index, min_mask_prob)
     order = sorted(range(len(seqs)), key=lambda i: len(seqs[i]))
     out = [None] * len(seqs)
     thr = np.float32(min_mask_prob)
@@ -214,4 +218,31 @@ def mask_sequences_batch(seqs: list, ratios: np.ndarray, x_index: int,
             s = np.asarray(seqs[i]).copy()
             s[p >= thr] = x_index
             out[i] = s
+    return out
+
+
+def _mask_native(lib, seqs, ratios, x_index, min_mask_prob):
+    import ctypes
+    n = len(seqs)
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum([len(s) for s in seqs], out=offsets[1:])
+    flat = np.concatenate([np.asarray(s, dtype=np.int64) for s in seqs]) \
+        if n else np.zeros(0, dtype=np.int64)
+    ratios_c = np.ascontiguousarray(ratios, dtype=np.float64)
+    mask = np.zeros(len(flat), dtype=np.uint8)
+    lib.tantan_mask_batch(
+        flat.ctypes.data_as(ctypes.c_void_p),
+        offsets.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_int64(n),
+        ratios_c.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_int64(ratios_c.shape[1]),
+        ctypes.c_int(MAX_CYCLE), ctypes.c_double(REPEAT_PROB),
+        ctypes.c_double(REPEAT_END_PROB), ctypes.c_double(DECAY),
+        ctypes.c_double(min_mask_prob),
+        mask.ctypes.data_as(ctypes.c_void_p))
+    out = []
+    for i in range(n):
+        s = np.asarray(seqs[i]).copy()
+        s[mask[offsets[i]:offsets[i + 1]].astype(bool)] = x_index
+        out.append(s)
     return out
