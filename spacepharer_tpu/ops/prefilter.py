@@ -192,6 +192,53 @@ def ungapped_diagonal_score(profile: np.ndarray, tseq: np.ndarray,
     return best
 
 
+class SimilarKmerEnumerator:
+    """Output-sensitive similar-k-mer enumeration (KmerGenerator analog).
+
+    Splits the 6-mer into two 3-mer halves; per half caches all 20^3
+    candidate half-codes ordered by (score desc, code asc) — the exact
+    enumeration order of calculateArrayProduct (KmerGenerator.cpp:186-).
+    Enumerating {t : score >= thr} is then two searchsorted calls plus a
+    repeat-expansion, O(|result|) instead of O(#index codes).
+    """
+
+    def __init__(self, seed_scores: np.ndarray, half: int = 3):
+        self.s80 = seed_scores
+        self.half = half
+        self.n_half = 20 ** half
+        self.cache = {}
+
+    def half_list(self, tri):
+        key = bytes(tri)
+        hit = self.cache.get(key)
+        if hit is not None:
+            return hit
+        s = self.s80[tri[0], :20].astype(np.int32)[:, None, None] \
+            + self.s80[tri[1], :20][None, :, None] \
+            + self.s80[tri[2], :20][None, None, :]
+        s = s.reshape(-1)
+        order = np.lexsort((np.arange(self.n_half), -s))
+        entry = (s[order], order.astype(np.int64))
+        self.cache[key] = entry
+        return entry
+
+    def enumerate(self, kmer_letters: np.ndarray, thr: int):
+        """All 6-mer codes scoring >= thr vs kmer, in reference order."""
+        s1, c1 = self.half_list(kmer_letters[:self.half])
+        s2, c2 = self.half_list(kmer_letters[self.half:])
+        if s1[0] + s2[0] < thr:
+            return np.zeros(0, dtype=np.int64)
+        n1 = int(np.searchsorted(-s1, -(thr - s2[0]), side="right"))
+        n2 = np.searchsorted(-s2, -(thr - s1[:n1]), side="right")
+        total = int(n2.sum())
+        if total == 0:
+            return np.zeros(0, dtype=np.int64)
+        rep_i = np.repeat(np.arange(n1), n2)
+        starts = np.concatenate(([0], np.cumsum(n2)[:-1]))
+        pos_j = np.arange(total) - np.repeat(starts, n2)
+        return c1[rep_i] * self.n_half + c2[pos_j]
+
+
 def _bin_bits(db_size: int) -> int:
     """QueryMatcher::initDiagonalMatcher (QueryMatcher.cpp:383-410):
     smallest BINSIZE in {2,4,...,2048} with db_size/BINSIZE < L2 cache."""
@@ -217,7 +264,8 @@ class PrefilterHit:
 def prefilter_query(q_num: np.ndarray, index: TargetIndex,
                     params: PrefilterParams,
                     seed_m: Optional[ScoringMatrix] = None,
-                    ungapped_m: Optional[ScoringMatrix] = None) -> list:
+                    ungapped_m: Optional[ScoringMatrix] = None,
+                    enumerator: Optional[SimilarKmerEnumerator] = None) -> list:
     """Match one query ORF; returns hits sorted like the reference rows."""
     seed_m = seed_m or load_matrix(params.seed_matrix, 8.0)
     ungapped_m = ungapped_m or load_matrix(params.ungapped_matrix, 2.0)
@@ -249,43 +297,41 @@ def prefilter_query(q_num: np.ndarray, index: TargetIndex,
     kbias = round_half_away(bias80[kpos[:, None] + offsets[None, :]].sum(axis=1))
     thr = np.maximum(kmer_thr - kbias, 0)
 
-    # score query kmers against all unique index codes:
-    # s[i, c] = sum_k S80[q[i+off_k], letters[c, k]]
-    s80 = seed_m.scores
+    # enumerate similar k-mers per query k-mer (output-sensitive, exact
+    # KmerGenerator order) and intersect with the index codes
+    if enumerator is None:
+        enumerator = SimilarKmerEnumerator(seed_m.scores)
     qletters = q_num[kpos[:, None] + offsets[None, :]]        # [nk, k]
-    half = params.kmer_size // 2
-    s_part1 = np.zeros((len(kpos), len(index.uniq_codes)), dtype=np.int32)
-    s_part2 = np.zeros_like(s_part1)
-    for k in range(half):
-        s_part1 += s80[qletters[:, k]][:, index.uniq_letters[:, k].astype(np.int64)]
-    for k in range(half, params.kmer_size):
-        s_part2 += s80[qletters[:, k]][:, index.uniq_letters[:, k].astype(np.int64)]
-    hit_mask = (s_part1 + s_part2) >= thr[:, None]
-
-    # expand postings per (kmer i, unique code), preserving the reference
-    # match-stream order: query position ascending, then KmerGenerator's
-    # enumeration order (part1 score desc / code asc, then part2 score
-    # desc / code asc; KmerGenerator.cpp:107-183), then posting order.
-    ki, ci = np.nonzero(hit_mask)
-    if len(ki) == 0:
-        return []
-    pow1 = 20 ** np.arange(half - 1, -1, -1)
-    perm1 = (index.uniq_letters[:, :half].astype(np.int64) @ pow1)
-    perm2 = (index.uniq_letters[:, half:].astype(np.int64) @ pow1)
-    simkey = np.lexsort((perm2[ci], -s_part2[ki, ci],
-                         perm1[ci], -s_part1[ki, ci], ki))
-    ki, ci = ki[simkey], ci[simkey]
-
-    # flat match stream: (target, diagonal_u16) in reference order
     starts = index.uniq_start
-    m_t, m_d = [], []
-    for a, c in zip(ki, ci):
-        i = kpos[a]
-        lo, hi = starts[c], starts[c + 1]
-        m_t.append(index.post_seq[lo:hi])
-        m_d.append((i - index.post_pos[lo:hi].astype(np.int64)) & 0xFFFF)
-    m_t = np.concatenate(m_t)
-    m_d = np.concatenate(m_d)
+    m_t_parts, m_d_parts = [], []
+    for a in range(len(kpos)):
+        sim = enumerator.enumerate(qletters[a], int(thr[a]))
+        if len(sim) == 0:
+            continue
+        ci = np.searchsorted(index.uniq_codes, sim)
+        ok = (ci < len(index.uniq_codes))
+        ci = np.where(ok, ci, 0)
+        ok &= index.uniq_codes[ci] == sim
+        ci = ci[ok]
+        if len(ci) == 0:
+            continue
+        i = int(kpos[a])
+        # expand postings (ragged, vectorized)
+        lo = starts[ci]
+        cnt = (starts[ci + 1] - lo).astype(np.int64)
+        total = int(cnt.sum())
+        if total == 0:
+            continue
+        base = np.repeat(lo, cnt)
+        within = np.arange(total) - np.repeat(
+            np.concatenate(([0], np.cumsum(cnt)[:-1])), cnt)
+        pidx = base + within
+        m_t_parts.append(index.post_seq[pidx])
+        m_d_parts.append((i - index.post_pos[pidx].astype(np.int64)) & 0xFFFF)
+    if not m_t_parts:
+        return []
+    m_t = np.concatenate(m_t_parts)
+    m_d = np.concatenate(m_d_parts)
 
     # double-diagonal filter (CacheFriendlyOperations::findDuplicates,
     # CacheFriendlyOperations.cpp:146-225): targets are binned by

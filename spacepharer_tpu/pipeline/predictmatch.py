@@ -44,10 +44,14 @@ def search_setdbs(query_db: SetDB, target_db: SetDB,
                   params: PredictParams) -> dict:
     """Translated search: prefilter + SW on AA ORFs; optional nucleotide
     re-alignment merge. Returns {query_orf_key: 11-col text rows}."""
+    from ..ops.prefilter import SimilarKmerEnumerator
+
     t_aa = [encode_aa(target_db.orf_aa(i).tobytes())
             for i in range(target_db.n_orfs)]
     index = build_target_index(t_aa, params.prefilter)
     m40 = load_matrix(params.align.matrix, 2.0)
+    seed_m = load_matrix(params.prefilter.seed_matrix, 8.0)
+    enumerator = SimilarKmerEnumerator(seed_m.scores)
     evaluer = EvalueComputer(
         gumbel_params(params.align.matrix, params.align.gap_open,
                       params.align.gap_extend),
@@ -56,7 +60,8 @@ def search_setdbs(query_db: SetDB, target_db: SetDB,
     prot = {}
     for qkey in range(query_db.n_orfs):
         q = encode_aa(query_db.orf_aa(qkey).tobytes())
-        hits = prefilter_query(q, index, params.prefilter)
+        hits = prefilter_query(q, index, params.prefilter,
+                               enumerator=enumerator)
         results = align_query(q, [h.target for h in hits], t_aa, m40,
                               params.align, evaluer)
         prot[qkey] = [r.row_fields() for r in results]
