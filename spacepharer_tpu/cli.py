@@ -50,6 +50,10 @@ def _add_predict_flags(p):
     p.add_argument("--mask", type=int, default=1, choices=(0, 1))
     p.add_argument("--comp-bias-corr", type=int, default=1, choices=(0, 1))
     p.add_argument("--threads", type=int, default=0, help="0 = auto")
+    p.add_argument("-v", "--verbosity", type=int, default=3,
+                   help="0: quiet, 1: +errors, 2: +warnings, 3: +info")
+    p.add_argument("--force-restart", action="store_true",
+                   help="ignore cached stage artifacts in tmpDir")
 
 
 def _add_createsetdb_flags(p):
@@ -81,6 +85,17 @@ def _predict_params(args) -> PredictParams:
                                args.rank_min_seq_ids.split(",")))
 
 
+def _make_cache(tmp_dir, command, params, inputs, force_restart=False):
+    from .pipeline.workflow import WorkflowCache
+    import shutil
+    cache = WorkflowCache(tmp_dir, command, repr(params), inputs)
+    if force_restart:
+        shutil.rmtree(cache.dir, ignore_errors=True)
+        import os as _os
+        _os.makedirs(cache.dir, exist_ok=True)
+    return cache
+
+
 def _write_outputs(res, out_path: str):
     with open(out_path, "w") as fh:
         fh.write(res.text)
@@ -106,13 +121,34 @@ def cmd_createsetdb(argv):
     *files, out_db, tmp = args.inputs
     os.makedirs(tmp, exist_ok=True)
     t0 = time.time()
-    db = build_setdb_from_fasta(
-        files, spacer_mode=bool(args.extractorf_spacer),
-        reverse_fragments=bool(args.reverse_fragments),
-        orf_min_length=args.min_length, orf_max_length=args.max_length,
-        translation_table=args.translation_table,
-        tax_mapping_file=args.tax_mapping_file,
-        taxdump_dir=args.ncbi_tax_dump)
+    if len(files) == 1 and os.path.exists(files[0] + ".spacers.tsv"):
+        # input is a parsespacer DB -> spacer-mode SetDB
+        from .io.spacer_formats import SpacerRecord
+        records = []
+        with open(files[0] + ".spacers.tsv") as fh:
+            for line in fh:
+                _, header, fidx, seq = line.rstrip("\n").split("\t")
+                records.append(SpacerRecord(header, header,
+                                            seq.encode("ascii"), int(fidx)))
+        sources = []
+        with open(files[0] + ".sources.tsv") as fh:
+            for line in fh:
+                sources.append(line.rstrip("\n").split("\t")[1])
+        db = build_setdb_from_spacers(
+            records, sources,
+            reverse_fragments=bool(args.reverse_fragments),
+            orf_max_length=args.max_length,
+            translation_table=args.translation_table,
+            tax_mapping_file=args.tax_mapping_file,
+            taxdump_dir=args.ncbi_tax_dump)
+    else:
+        db = build_setdb_from_fasta(
+            files, spacer_mode=bool(args.extractorf_spacer),
+            reverse_fragments=bool(args.reverse_fragments),
+            orf_min_length=args.min_length, orf_max_length=args.max_length,
+            translation_table=args.translation_table,
+            tax_mapping_file=args.tax_mapping_file,
+            taxdump_dir=args.ncbi_tax_dump)
     db.save(out_db)
     print(f"createsetdb: {db.n_contigs} contigs, {db.n_orfs} ORFs, "
           f"{db.n_sets} sets in {time.time()-t0:.1f}s -> {out_db}")
@@ -154,10 +190,16 @@ def cmd_predictmatch(argv):
     p.add_argument("tmpDir")
     _add_predict_flags(p)
     args = p.parse_args(argv)
+    from .logging import set_verbosity
+    set_verbosity(args.verbosity)
     qdb = SetDB.load(args.querySetDB)
     tdb = SetDB.load(args.targetSetDB)
     cdb = SetDB.load(args.controlSetDB)
-    res = predict_match(qdb, tdb, cdb, _predict_params(args))
+    pp = _predict_params(args)
+    cache = _make_cache(args.tmpDir, "predictmatch", pp,
+                        [args.querySetDB, args.targetSetDB,
+                         args.controlSetDB], args.force_restart)
+    res = predict_match(qdb, tdb, cdb, pp, cache=cache)
     _write_outputs(res, args.output)
     return 0
 
@@ -184,7 +226,12 @@ def cmd_easy_predict(argv):
         p.error(f"control SetDB {control} not found; run createsetdb with "
                 "--reverse-fragments 1")
     cdb = SetDB.load(control)
-    res = predict_match(qdb, tdb, cdb, _predict_params(args))
+    from .logging import set_verbosity
+    set_verbosity(args.verbosity)
+    pp = _predict_params(args)
+    cache = _make_cache(tmp, "easy-predict", pp, files + [target],
+                        args.force_restart)
+    res = predict_match(qdb, tdb, cdb, pp, cache=cache)
     _write_outputs(res, output)
     return 0
 

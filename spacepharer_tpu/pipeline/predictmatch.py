@@ -114,13 +114,21 @@ class PredictResult:
 
 def predict_match(query_db: SetDB, target_db: SetDB, control_db: SetDB,
                   params: Optional[PredictParams] = None,
-                  taxonomy=None) -> PredictResult:
-    params = params or PredictParams()
+                  taxonomy=None, cache=None) -> PredictResult:
+    from ..logging import stage_timer
+    from .workflow import NullCache
 
-    result = search_setdbs(query_db, target_db, params)
+    params = params or PredictParams()
+    cache = cache or NullCache()
+
+    with stage_timer("search"):
+        result = cache.get_or_compute(
+            "result", lambda: search_setdbs(query_db, target_db, params))
     aggregate, cscore = _aggregate_chain(result, query_db, target_db)
 
-    result_rev = search_setdbs(query_db, control_db, params)
+    with stage_timer("search_rev"):
+        result_rev = cache.get_or_compute(
+            "result_rev", lambda: search_setdbs(query_db, control_db, params))
     _, cscore_rev = _aggregate_chain(result_rev, query_db, control_db)
 
     match, messages = filter_match_by_fdr(cscore, cscore_rev, params.fdr,

@@ -1,0 +1,84 @@
+"""Content-addressed, stage-granular workflow cache.
+
+Parity target: the reference's checkpoint/resume model (SURVEY.md §5.4):
+every workflow step is guarded by an exists-check on its artifact, the
+tmp directory name is a hash of (command, parameters, inputs)
+(Parameters::hashParameter + FileUtil::createTemporaryDirectory,
+src/workflow/PredictMatch.cpp:49-56), and a ``latest`` symlink points at
+the most recent run. Killing and re-running any workflow resumes at the
+first missing artifact; changing parameters changes the hash and starts
+fresh.
+
+Artifacts here are pickled Python stage results instead of text DBs.
+"""
+import hashlib
+import os
+import pickle
+
+from ..logging import info
+
+
+def _hash_inputs(command: str, params_repr: str, inputs) -> str:
+    h = hashlib.sha256()
+    h.update(command.encode())
+    h.update(params_repr.encode())
+    for path in inputs:
+        h.update(str(path).encode())
+        try:
+            st = os.stat(path)
+            h.update(f"{st.st_size}:{st.st_mtime_ns}".encode())
+        except OSError:
+            pass
+    return h.hexdigest()[:16]
+
+
+class WorkflowCache:
+    """Stage-granular artifact store under <tmp>/<param-hash>/."""
+
+    def __init__(self, tmp_dir: str, command: str, params_repr: str,
+                 inputs=(), reuse_latest: bool = False):
+        os.makedirs(tmp_dir, exist_ok=True)
+        if reuse_latest and os.path.islink(os.path.join(tmp_dir, "latest")):
+            h = os.readlink(os.path.join(tmp_dir, "latest"))
+        else:
+            h = _hash_inputs(command, params_repr, inputs)
+        self.dir = os.path.join(tmp_dir, h)
+        os.makedirs(self.dir, exist_ok=True)
+        latest = os.path.join(tmp_dir, "latest")
+        try:
+            if os.path.islink(latest):
+                os.unlink(latest)
+            os.symlink(h, latest)
+        except OSError:
+            pass
+
+    def path(self, name: str) -> str:
+        return os.path.join(self.dir, name + ".pkl")
+
+    def has(self, name: str) -> bool:
+        return os.path.exists(self.path(name))
+
+    def load(self, name: str):
+        with open(self.path(name), "rb") as fh:
+            return pickle.load(fh)
+
+    def save(self, name: str, obj):
+        tmp = self.path(name) + ".tmp"
+        with open(tmp, "wb") as fh:
+            pickle.dump(obj, fh, protocol=pickle.HIGHEST_PROTOCOL)
+        os.replace(tmp, self.path(name))  # atomic: resume-safe artifacts
+
+    def get_or_compute(self, name: str, fn):
+        if self.has(name):
+            info(f"[resume] {name}: reusing cached artifact")
+            return self.load(name)
+        result = fn()
+        self.save(name, result)
+        return result
+
+
+class NullCache:
+    """No-op cache (in-memory pipelines, tests)."""
+
+    def get_or_compute(self, name, fn):
+        return fn()
