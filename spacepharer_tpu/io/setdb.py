@@ -223,14 +223,23 @@ def _assemble(contigs, accs, headers, c2s, set_names, spacer_mode,
         min_len = 30 if orf_min_length is None else orf_min_length
         start_mode = START_TO_STOP
 
+    from ..alphabet import revcomp_ascii
+
     orf_contig, orf_from, orf_to, orf_complete = [], [], [], []
     aa_parts, nucl_parts = [], []
     for ci, contig in enumerate(contigs):
         orfs = find_orfs(contig, min_length=min_len, max_length=orf_max_length,
                          start_mode=start_mode, table_id=table_id)
+        if len(orfs.strand) == 0:
+            continue
+        # strand sequences computed once per contig (Orf::setSequence)
+        seq = contig.copy()
+        seq[seq == ord("U")] = ord("T")
+        seq[seq == ord("u")] = ord("t")
+        rc = revcomp_ascii(seq) if (orfs.strand < 0).any() else None
         for k in range(len(orfs.strand)):
-            nucl = orf_nucl_sequence(contig, int(orfs.frame_from[k]),
-                                     int(orfs.frame_to[k]), int(orfs.strand[k]))
+            f, t = int(orfs.frame_from[k]), int(orfs.frame_to[k])
+            nucl = (seq if orfs.strand[k] > 0 else rc)[f:t + 1]
             if reverse_fragments:
                 nucl = reverse_by_codon(nucl)
             aa = translate(nucl, table_id)

@@ -135,20 +135,22 @@ def _forward_pass(sub: np.ndarray, gap_open: int, gap_extend: int):
     best = 0
     t_end = -1
     q_end = lq - 1
+    jpos = np.arange(lq, dtype=np.int64)
+    ge_j1 = gap_extend * (jpos + 1)
+    ge_j = gap_extend * jpos
+    NEG = -(1 << 40)
     for i in range(lt):
         h_pre = np.concatenate(([0], H[:-1])) + sub[i]
         np.maximum(h_pre, E, out=h_pre)
         np.maximum(h_pre, 0, out=h_pre)
         # E for the next column from the pre-F values
         E = np.maximum(np.maximum(h_pre - gap_open, E - gap_extend), 0)
-        # lazy-F: h[j] = max(h_pre[j], F) with F from final h values
-        h = h_pre
-        f = 0
-        for j in range(lq):
-            hj = h[j]
-            if f > hj:
-                h[j] = hj = f
-            f = max(hj - gap_open, f - gap_extend, 0)
+        # lazy-F via cumulative max: F[j] = max_{k<j} h[k] - gapO - (j-k-1)gapE
+        # (F-through-F chains are dominated since gapO >= gapE)
+        g = h_pre - gap_open + ge_j1
+        cm = np.maximum.accumulate(g)
+        F = np.concatenate(([NEG], cm[:-1])) - ge_j
+        h = np.maximum(h_pre, F)
         colmax = int(h.max()) if lq else 0
         if colmax > best:
             best = colmax
@@ -333,19 +335,88 @@ def check_criteria(res: AlnResult, params: AlnParams) -> bool:
     return True
 
 
+def batch_forward_scores(q_num: np.ndarray, targets: list,
+                         matrix: ScoringMatrix, gap_open: int,
+                         gap_extend: int,
+                         bias: Optional[np.ndarray] = None) -> np.ndarray:
+    """SW scores of one query vs many targets, batched over the pair
+    dimension (cell-exact with _forward_pass; scores only)."""
+    B = len(targets)
+    if B == 0:
+        return np.zeros(0, dtype=np.int64)
+    lq = len(q_num)
+    lt = max(len(t) for t in targets)
+    prof = matrix.scores[q_num].astype(np.int64)
+    if bias is not None:
+        prof = prof + bias[:, None]
+    # sub[b, j] per column i: gather prof[:, t_b[i]]; pad targets with X
+    t_mat = np.full((B, lt), X_COL, dtype=np.int64)
+    t_len = np.zeros(B, dtype=np.int64)
+    for b, t in enumerate(targets):
+        t_mat[b, :len(t)] = t
+        t_len[b] = len(t)
+
+    H = np.zeros((B, lq), dtype=np.int64)
+    E = np.zeros((B, lq), dtype=np.int64)
+    best = np.zeros(B, dtype=np.int64)
+    jpos = np.arange(lq, dtype=np.int64)
+    ge_j1 = gap_extend * (jpos + 1)
+    ge_j = gap_extend * jpos
+    NEG = -(1 << 40)
+    for i in range(lt):
+        sub_col = prof[:, t_mat[:, i]].T            # [B, lq]
+        h_pre = np.concatenate(
+            (np.zeros((B, 1), dtype=np.int64), H[:, :-1]), axis=1) + sub_col
+        np.maximum(h_pre, E, out=h_pre)
+        np.maximum(h_pre, 0, out=h_pre)
+        E2 = np.maximum(np.maximum(h_pre - gap_open, E - gap_extend), 0)
+        g = h_pre - gap_open + ge_j1[None, :]
+        cm = np.maximum.accumulate(g, axis=1)
+        F = np.concatenate(
+            (np.full((B, 1), NEG, dtype=np.int64), cm[:, :-1]), axis=1) \
+            - ge_j[None, :]
+        h = np.maximum(h_pre, F)
+        valid = i < t_len
+        np.maximum(best, np.where(valid, h.max(axis=1), 0), out=best)
+        H = np.where(valid[:, None], h, H)
+        E = np.where(valid[:, None], E2, E)
+    return best
+
+
+X_COL = 20  # X column index used for target padding (masked by t_len)
+
+
 def align_query(q_num: np.ndarray, pref_targets: list, target_seqs: list,
                 matrix: ScoringMatrix, params: AlnParams,
                 evaluer: EvalueComputer) -> list:
     """Align one query against its prefilter candidates, in order.
 
+    Fast path: batch-score all candidates, E-value-screen, and run the
+    exact per-pair alignment (positions + backtrace) only on survivors —
+    output-identical because acceptance depends only on the score
+    (cov/seqId thresholds are 0 in the product configuration).
     Returns accepted AlnResults sorted by (eval, -score, t_len, target)
     like Matcher::compareHits.
     """
     bias = sw_bias_i8(q_num, matrix) if params.comp_bias_corr else None
     out = []
+    batched_ok = (params.max_accept == INT_MAX
+                  and params.max_rejected == INT_MAX
+                  and params.cov_thr == 0 and params.seq_id_thr == 0
+                  and params.aln_len_thr == 0)
+    if batched_ok and len(pref_targets) > 1:
+        scores = batch_forward_scores(
+            q_num, [target_seqs[t] for t in pref_targets], matrix,
+            params.gap_open, params.gap_extend, bias)
+        evals = evaluer.evalue(scores, len(q_num))
+        survivors = [t for t, e in zip(pref_targets, evals)
+                     if e <= params.evalue]
+    else:
+        survivors = None
+
     accepted = 0
     rejected = 0
-    for tid in pref_targets:
+    for tid in (survivors if survivors is not None else pref_targets):
         if accepted >= params.max_accept or rejected >= params.max_rejected:
             break
         res = sw_align(q_num, target_seqs[tid], matrix, params, evaluer, bias)

@@ -76,18 +76,22 @@ class TargetIndex:
 
 def _spaced_codes(seq_num: np.ndarray, offsets: np.ndarray, span: int,
                   alphabet: int):
-    """codes[i] for i in 0..L-span; valid = no X at informative offsets."""
+    """codes[i] for i in 0..L-span; valid = no X at informative offsets.
+
+    Streaming over shifted views (no [n, k] letter matrix), so flat
+    multi-megabase passes stay cache-friendly.
+    """
     L = len(seq_num)
     n = L - span + 1
     if n <= 0:
         return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=bool)
-    idx = np.arange(n)[:, None] + offsets[None, :]
-    letters = seq_num[idx]                                    # [n, k]
-    valid = (letters != X_IDX).all(axis=1)
-    base = alphabet
     codes = np.zeros(n, dtype=np.int64)
-    for k in range(letters.shape[1]):
-        codes = codes * base + letters[:, k]
+    valid = np.ones(n, dtype=bool)
+    for off in offsets:
+        col = seq_num[off:off + n]
+        codes *= alphabet
+        codes += col
+        valid &= col != X_IDX
     return codes, valid
 
 
@@ -107,41 +111,55 @@ def build_target_index(aa_seqs: list, params: PrefilterParams) -> TargetIndex:
     else:
         masked_all = [np.asarray(s, dtype=np.int64) for s in aa_seqs]
 
-    masked_seqs = []
-    code_parts, seq_parts, pos_parts = [], [], []
-    db_residues = 0
-    for sid, seq in enumerate(aa_seqs):
-        db_residues += len(seq)
-        ms = masked_all[sid]
-        masked_seqs.append(ms)
-        codes, valid = _spaced_codes(ms, offsets, span, 20)
-        if len(codes) == 0:
-            continue
-        # self score filter (IndexTable::addKmerCount threshold)
-        kself = self_scores[ms[np.arange(len(codes))[:, None] + offsets[None, :]]].sum(axis=1)
-        valid &= kself >= kmer_thr
-        vpos = np.flatnonzero(valid)
-        if len(vpos) == 0:
-            continue
-        vcodes = codes[vpos]
-        # first occurrence per unique code within this sequence
-        order = np.argsort(vcodes, kind="stable")
-        sc = vcodes[order]
-        first = np.concatenate([[True], sc[1:] != sc[:-1]])
-        keep = order[first]
-        code_parts.append(vcodes[keep])
-        seq_parts.append(np.full(len(keep), sid, dtype=np.int32))
-        pos_parts.append(vpos[keep].astype(np.int32))
+    masked_seqs = masked_all
+    db_residues = int(sum(len(s) for s in aa_seqs))
 
-    if code_parts:
-        codes = np.concatenate(code_parts)
-        post_seq = np.concatenate(seq_parts)
-        post_pos = np.concatenate(pos_parts)
+    # flat pass over all sequences at once: concatenate with X spacers so
+    # no k-mer spans two sequences, then recover (seq, pos) per k-mer
+    n_seqs = len(masked_all)
+    if n_seqs:
+        sep = np.full(span - 1, X_IDX, dtype=np.int64)
+        parts = []
+        for ms in masked_all:
+            parts.append(ms)
+            parts.append(sep)
+        flat = np.concatenate(parts[:-1]) if parts else np.zeros(0, np.int64)
+        seq_starts = np.zeros(n_seqs + 1, dtype=np.int64)
+        np.cumsum([len(ms) + span - 1 for ms in masked_all],
+                  out=seq_starts[1:])
+        codes_f, valid_f = _spaced_codes(flat, offsets, span, 20)
+        if len(codes_f):
+            gpos = np.flatnonzero(valid_f)
+            kself = np.zeros(len(gpos), dtype=np.int64)
+            for off in offsets:
+                kself += self_scores[flat[gpos + off]]
+            gpos = gpos[kself >= kmer_thr]
+            sid = np.searchsorted(seq_starts, gpos, side="right") - 1
+            pos = gpos - seq_starts[sid]
+            kcodes = codes_f[gpos]
+            # first occurrence per (seq, code): stable sort on the fused
+            # (seq, code) key — positions are already ascending per seq
+            K = np.int64(20) ** span  # > any code
+            fused = sid * K + kcodes
+            order = np.argsort(fused, kind="stable")
+            f_sorted = fused[order]
+            first = np.concatenate(([True], f_sorted[1:] != f_sorted[:-1]))
+            keep = order[first]
+            codes = kcodes[keep]
+            post_seq = sid[keep].astype(np.int32)
+            post_pos = pos[keep].astype(np.int32)
+        else:
+            codes = np.zeros(0, dtype=np.int64)
+            post_seq = np.zeros(0, dtype=np.int32)
+            post_pos = np.zeros(0, dtype=np.int32)
     else:
         codes = np.zeros(0, dtype=np.int64)
         post_seq = np.zeros(0, dtype=np.int32)
         post_pos = np.zeros(0, dtype=np.int32)
-    order = np.lexsort((post_pos, post_seq, codes))
+    # final postings order: (code, seq, pos); pos is unique per (code, seq)
+    order = np.argsort(codes * np.int64(len(aa_seqs) + 1)
+                       + post_seq.astype(np.int64), kind="stable") \
+        if len(codes) else np.zeros(0, dtype=np.int64)
     codes, post_seq, post_pos = codes[order], post_seq[order], post_pos[order]
     uniq_codes, ustart = np.unique(codes, return_index=True)
     uniq_start = np.concatenate([ustart, [len(codes)]]).astype(np.int64)
