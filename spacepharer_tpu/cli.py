@@ -82,7 +82,8 @@ def _predict_params(args) -> PredictParams:
         perform_nucl_aln=bool(args.perform_nucl_aln),
         restrict_ranks_mode=bool(args.restrict_ranks_mode),
         rank_min_seq_ids=tuple(float(x) for x in
-                               args.rank_min_seq_ids.split(",")))
+                               args.rank_min_seq_ids.split(",")),
+        threads=args.threads)
 
 
 def _make_cache(tmp_dir, command, params, inputs, force_restart=False):

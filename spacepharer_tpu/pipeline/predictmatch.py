@@ -4,6 +4,8 @@ In-memory re-design of data/predictmatch.sh:27-294 — one orchestrator
 instead of a tree of processes; arrays instead of text DB files. Each
 stage mirrors its reference module (citations in the stage modules).
 """
+import os
+
 from dataclasses import dataclass, field
 from typing import Optional
 
@@ -38,6 +40,14 @@ class PredictParams:
     nucl_gap_extend: int = 2
     restrict_ranks_mode: bool = True
     rank_min_seq_ids: tuple = (0.86, 0.84, 0.82, 0.80, 0.78, 0.76, 0.74, 0.72)
+    threads: int = 0  # 0 = all cores; 1 = sequential
+
+
+_worker_fn = None
+
+
+def _run_chunk(chunk):
+    return [_worker_fn(qkey) for qkey in chunk]
 
 
 def search_setdbs(query_db: SetDB, target_db: SetDB,
@@ -57,14 +67,34 @@ def search_setdbs(query_db: SetDB, target_db: SetDB,
                       params.align.gap_extend),
         sum(len(t) for t in t_aa))
 
-    prot = {}
-    for qkey in range(query_db.n_orfs):
+    def _one_query(qkey):
         q = encode_aa(query_db.orf_aa(qkey).tobytes())
         hits = prefilter_query(q, index, params.prefilter,
                                enumerator=enumerator)
         results = align_query(q, [h.target for h in hits], t_aa, m40,
                               params.align, evaluer)
-        prot[qkey] = [r.row_fields() for r in results]
+        return [r.row_fields() for r in results]
+
+    n_threads = params.threads if params.threads > 0 else (os.cpu_count() or 1)
+    keys = list(range(query_db.n_orfs))
+    prot = {}
+    if n_threads > 1 and len(keys) > 16:
+        # fork workers share the index read-only (copy-on-write), like the
+        # reference's OpenMP threads over a shared mmap'd index
+        import multiprocessing as mp
+        global _worker_fn
+        _worker_fn = _one_query
+        ctx = mp.get_context("fork")
+        chunks = [keys[i::n_threads] for i in range(n_threads)]
+        with ctx.Pool(n_threads) as pool:
+            parts = pool.map(_run_chunk, chunks)
+        for chunk, rows_list in zip(chunks, parts):
+            for qkey, rows in zip(chunk, rows_list):
+                prot[qkey] = rows
+        prot = {k: prot[k] for k in keys}
+    else:
+        for qkey in keys:
+            prot[qkey] = _one_query(qkey)
 
     if not params.perform_nucl_aln:
         return prot
