@@ -89,8 +89,8 @@ def test_fdr_threshold_separates_signal():
     # strong scores well above an overlapping noise distribution
     rng = np.random.default_rng(5)
     noise_p = list(rng.uniform(0, 10, 300))
-    pos = [100.0, 95.0, 90.0, 85.0, 80.0] + noise_p
-    neg = list(rng.uniform(0, 10, 305))
+    pos = list(np.linspace(80, 100, 50)) + noise_p
+    neg = list(rng.uniform(0, 10, 350))
     thr, uniq, fdrs, msgs = compute_fdr_threshold(pos, neg, 0.05)
     assert thr > 10.0  # noise excluded
     assert thr <= 80.0  # signal kept
