@@ -50,6 +50,9 @@ def _add_predict_flags(p):
     p.add_argument("--mask", type=int, default=1, choices=(0, 1))
     p.add_argument("--comp-bias-corr", type=int, default=1, choices=(0, 1))
     p.add_argument("--threads", type=int, default=0, help="0 = auto")
+    p.add_argument("--use-tpu", type=int, default=0, choices=(0, 1),
+                   help="bulk-score alignment candidates on the accelerator "
+                        "(pays off on large corpora; output-identical)")
     p.add_argument("-v", "--verbosity", type=int, default=3,
                    help="0: quiet, 1: +errors, 2: +warnings, 3: +info")
     p.add_argument("--force-restart", action="store_true",
@@ -83,7 +86,7 @@ def _predict_params(args) -> PredictParams:
         restrict_ranks_mode=bool(args.restrict_ranks_mode),
         rank_min_seq_ids=tuple(float(x) for x in
                                args.rank_min_seq_ids.split(",")),
-        threads=args.threads)
+        threads=args.threads, use_tpu=bool(args.use_tpu))
 
 
 def _make_cache(tmp_dir, command, params, inputs, force_restart=False):

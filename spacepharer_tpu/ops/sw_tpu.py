@@ -18,11 +18,24 @@ exact host path for coordinates and backtraces.
 Layout: queries padded to LQ (sublane-friendly multiples of 8), targets
 padded to LT; the pair batch B rides the lane dimension.
 """
+import os
 from functools import partial
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# persistent compilation cache: bucketed pair scoring reuses a handful of
+# shapes; caching them across processes removes the per-run compile cost
+_cache_dir = os.environ.get(
+    "SPACEPHARER_JAX_CACHE",
+    os.path.join(os.path.expanduser("~"), ".cache", "spacepharer_tpu", "jax"))
+try:
+    os.makedirs(_cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:  # noqa: BLE001 - cache is best-effort
+    pass
 
 NEG = -(10 ** 6)
 
@@ -96,3 +109,56 @@ def build_sub_batch(q_list, t_list, matrix_scores: np.ndarray,
             prof = prof + np.asarray(bias_list[b], dtype=np.int32)[:, None]
         sub[b, :len(t), :len(q)] = prof[:, t].T
     return sub, q_len, t_len
+
+
+def score_pairs_bucketed(pairs, q_seqs, t_seqs, matrix_scores,
+                         biases=None, gap_open: int = 16, gap_extend: int = 2,
+                         lq_pad: int = 32):
+    """Score (query, target) index pairs on the accelerator in buckets.
+
+    pairs: [(q_idx, t_idx), ...]; q_seqs/t_seqs: numeric sequences;
+    biases: optional per-query int bias arrays. Pairs are bucketed by
+    target length (powers of two) and padded to fixed shapes so only a
+    handful of kernels compile. Returns int64 scores aligned with
+    ``pairs``.
+    """
+    if not pairs:
+        return np.zeros(0, dtype=np.int64)
+    max_lq = max(len(q_seqs[qi]) for qi, _ in pairs)
+    lq_pad = max(lq_pad, ((max_lq + 7) // 8) * 8)
+    max_lt = max(len(t_seqs[ti]) for _, ti in pairs)
+    # one kernel shape per run: a single (B, LT, LQ) compile dominates the
+    # remote-compile cost; long targets are handled by a second tall shape
+    LT = min(1 << max(8, (min(max_lt, 2048) - 1).bit_length()), 2048)
+    B = 512
+    out = np.zeros(len(pairs), dtype=np.int64)
+    short_idx = [i for i, (_, ti) in enumerate(pairs) if len(t_seqs[ti]) <= LT]
+    long_idx = [i for i in range(len(pairs)) if i not in set(short_idx)]
+
+    def _run(idxs, lt_pad):
+        for start in range(0, len(idxs), B):
+            chunk = idxs[start:start + B]
+            qs, ts, bs = [], [], []
+            for i in chunk:
+                qi, ti = pairs[i]
+                qs.append(q_seqs[qi][:lq_pad])
+                ts.append(t_seqs[ti][:lt_pad])
+                bs.append(None if biases is None else biases[qi][:lq_pad])
+            while len(qs) < B:
+                qs.append(np.zeros(1, dtype=np.int64))
+                ts.append(np.zeros(1, dtype=np.int64))
+                bs.append(None if biases is None
+                          else np.zeros(1, dtype=np.int64))
+            sub, q_len, t_len = build_sub_batch(
+                qs, ts, matrix_scores,
+                None if biases is None else bs, lq=lq_pad, lt=lt_pad)
+            scores = np.asarray(sw_score_batch(sub, q_len, t_len,
+                                               gap_open, gap_extend))
+            out[np.asarray(chunk)] = scores[:len(chunk)]
+
+    _run(short_idx, LT)
+    if long_idx:
+        lt_long = 1 << (max(len(t_seqs[pairs[i][1]]) for i in long_idx) - 1
+                        ).bit_length()
+        _run(long_idx, lt_long)
+    return out

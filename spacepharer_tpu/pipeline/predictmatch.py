@@ -41,6 +41,7 @@ class PredictParams:
     restrict_ranks_mode: bool = True
     rank_min_seq_ids: tuple = (0.86, 0.84, 0.82, 0.80, 0.78, 0.76, 0.74, 0.72)
     threads: int = 0  # 0 = all cores; 1 = sequential
+    use_tpu: bool = False  # bulk-score candidates on the accelerator
 
 
 _worker_fn = None
@@ -78,7 +79,10 @@ def search_setdbs(query_db: SetDB, target_db: SetDB,
     n_threads = params.threads if params.threads > 0 else (os.cpu_count() or 1)
     keys = list(range(query_db.n_orfs))
     prot = {}
-    if n_threads > 1 and len(keys) > 16:
+    if params.use_tpu:
+        prot = _search_tpu(query_db, keys, t_aa, index, enumerator, m40,
+                           evaluer, params)
+    elif n_threads > 1 and len(keys) > 16:
         # fork workers share the index read-only (copy-on-write), like the
         # reference's OpenMP threads over a shared mmap'd index
         import multiprocessing as mp
@@ -110,6 +114,52 @@ def search_setdbs(query_db: SetDB, target_db: SetDB,
     nucl = protein_aln_to_nucl(prot, q_nucl, t_nucl, nucl_ev,
                                params.nucl_gap_open, params.nucl_gap_extend)
     return combine_prot_nucl(prot, nucl)
+
+
+def _search_tpu(query_db, keys, t_aa, index, enumerator, m40, evaluer,
+                params):
+    """Prefilter all queries, bulk-score candidate pairs on the
+    accelerator, then run the exact host alignment only on E-value
+    survivors (output-identical to the host path)."""
+    from ..ops.align import sw_bias_i8, sw_align, check_criteria
+    from ..ops.sw_tpu import score_pairs_bucketed
+
+    q_seqs = {}
+    biases = {}
+    cand = {}
+    pairs = []
+    for qkey in keys:
+        q = encode_aa(query_db.orf_aa(qkey).tobytes())
+        q_seqs[qkey] = q
+        biases[qkey] = (sw_bias_i8(q, m40) if params.align.comp_bias_corr
+                        else np.zeros(len(q), dtype=np.int64))
+        hits = prefilter_query(q, index, params.prefilter,
+                               enumerator=enumerator)
+        cand[qkey] = [h.target for h in hits]
+        pairs.extend((qkey, t) for t in cand[qkey])
+
+    scores = score_pairs_bucketed(
+        pairs, q_seqs, t_aa, m40.scores, biases,
+        params.align.gap_open, params.align.gap_extend)
+    surv = {}
+    for (qkey, t), sc in zip(pairs, scores):
+        if float(evaluer.evalue(int(sc), len(q_seqs[qkey]))) <= params.align.evalue:
+            surv.setdefault(qkey, []).append(t)
+
+    prot = {}
+    for qkey in keys:
+        out = []
+        for t in surv.get(qkey, []):
+            res = sw_align(q_seqs[qkey], t_aa[t], m40, params.align, evaluer,
+                           biases[qkey])
+            if res is None:
+                continue
+            res.target = t
+            if check_criteria(res, params.align):
+                out.append(res)
+        out.sort(key=lambda r: (r.evalue, -r.raw_score, r.t_len, r.target))
+        prot[qkey] = [r.row_fields() for r in out]
+    return prot
 
 
 def _aggregate_chain(result: dict, query_db: SetDB, target_db: SetDB):
