@@ -1,0 +1,137 @@
+"""Pallas TPU kernel for the all-pairs Smith-Waterman scan.
+
+The scoring state (H, E, best) lives in VMEM for a tile of targets; the
+per-column substitution scores are produced as a one-hot matmul
+``prof[LQ, A] @ onehot(letters[T_TILE]) -> [LQ, T_TILE]`` so the gather
+rides the MXU. The in-column query-gap (F) propagation uses the affine
+identity (see ops/sw_tpu.py) with a log2(LQ) shift-max cummax.
+
+Grid: (n_target_tiles,) — each program scans its target tile over all
+LT columns. Semantics are cell-exact with ops.align._forward_pass.
+
+Status: validated on hardware (correctness) and kept as the explicit-
+VMEM building block; the XLA lax.scan formulation in
+parallel.sharding.sw_score_allpairs currently pipelines better on v5e
+(~185G cells/s) and remains the production path. Extending this kernel
+with a query-batch grid dimension and double-buffered HBM target
+streaming is the planned route past the XLA ceiling.
+"""
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG = -(10 ** 6)
+
+
+def _sw_kernel(q_prof_ref, q_len_ref, t_seqs_ref, t_len_ref, out_ref,
+               *, lq, lt, t_tile, a_pad, gap_open, gap_extend):
+    prof_f = q_prof_ref[:].astype(jnp.float32)   # [LQ, A_pad]
+    t_len = t_len_ref[0, :]                  # [T_TILE] int32
+    q_len = q_len_ref[0, 0]
+
+    jpos = jax.lax.broadcasted_iota(jnp.int32, (lq, 1), 0)
+    q_mask = jpos < q_len                    # [LQ, 1]
+    ge = jnp.int32(gap_extend)
+    go = jnp.int32(gap_open)
+    ge_j1 = ge * (jpos + 1)
+    ge_j = ge * jpos
+
+    def col_step(i, carry):
+        H, E, best = carry                   # [LQ, T_TILE] x2, [1, T_TILE]
+        col = t_seqs_ref[pl.ds(i, 1), :][0, :]   # [T_TILE] (row i of [LT, T_TILE])
+        onehot = (jax.lax.broadcasted_iota(jnp.int32, (a_pad, t_tile), 0)
+                  == col[None, :]).astype(jnp.float32)
+        # int32 matmul is not an MXU op; f32 is exact for these magnitudes
+        sub_col = jax.lax.dot_general(
+            prof_f, onehot, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(jnp.int32)
+        h_diag = jnp.concatenate(
+            [jnp.zeros((1, t_tile), jnp.int32), H[:-1, :]], axis=0)
+        h_pre = jnp.maximum(jnp.maximum(h_diag + sub_col, E), 0)
+        h_pre = jnp.where(q_mask, h_pre, 0)
+        E2 = jnp.maximum(jnp.maximum(h_pre - go, E - ge), 0)
+        # cummax along LQ (sublane) via log2 shift-max
+        g = h_pre - go + ge_j1
+        shift = 1
+        while shift < lq:
+            shifted = jnp.concatenate(
+                [jnp.full((shift, t_tile), NEG, jnp.int32), g[:-shift, :]],
+                axis=0)
+            g = jnp.maximum(g, shifted)
+            shift *= 2
+        F = jnp.concatenate(
+            [jnp.full((1, t_tile), NEG, jnp.int32), g[:-1, :]], axis=0) - ge_j
+        h = jnp.where(q_mask, jnp.maximum(h_pre, F), 0)
+        valid = (i < t_len)[None, :]         # [1, T_TILE]
+        best = jnp.where(valid, jnp.maximum(best, h.max(axis=0)[None, :]),
+                         best)
+        H = jnp.where(valid, h, H)
+        E = jnp.where(valid, E2, E)
+        return H, E, best
+
+    H0 = jnp.zeros((lq, t_tile), jnp.int32)
+    E0 = jnp.zeros((lq, t_tile), jnp.int32)
+    best0 = jnp.zeros((1, t_tile), jnp.int32)
+    _, _, best = jax.lax.fori_loop(0, lt, col_step, (H0, E0, best0))
+    out_ref[:] = best
+
+
+@partial(jax.jit, static_argnames=("gap_open", "gap_extend", "t_tile",
+                                   "interpret"))
+def sw_scores_one_query_pallas(q_prof, q_len, t_seqs, t_len,
+                               gap_open: int = 16, gap_extend: int = 2,
+                               t_tile: int = 256, interpret: bool = False):
+    """Scores of one query against all targets.
+
+    q_prof: int32 [LQ, A_pad]; q_len: int32 [1, 1];
+    t_seqs: int32 [LT, T] transposed layout (T multiple of t_tile);
+    t_len: int32 [1, T].
+    Returns int32 [T].
+    """
+    lq, a_pad = q_prof.shape
+    lt, T = t_seqs.shape
+    grid = (T // t_tile,)
+    out = pl.pallas_call(
+        partial(_sw_kernel, lq=lq, lt=lt, t_tile=t_tile, a_pad=a_pad,
+                gap_open=gap_open, gap_extend=gap_extend),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((lq, a_pad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((lt, t_tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t_tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, t_tile), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, T), jnp.int32),
+        interpret=interpret,
+    )(q_prof, q_len, t_seqs, t_len)
+    return out[0]
+
+
+def pack_for_pallas(q_num, matrix_scores, targets, lq_pad=32, a_pad=32,
+                    lt_pad=None, t_tile=256, bias=None, x_fill=20):
+    """Host packing for the Pallas scorer."""
+    lq = len(q_num)
+    prof = np.full((lq_pad, a_pad), NEG, dtype=np.int32)
+    p = matrix_scores[np.asarray(q_num, dtype=np.int64)].astype(np.int32)
+    if bias is not None:
+        p = p + np.asarray(bias, dtype=np.int32)[:, None]
+    prof[:lq, :p.shape[1]] = p
+    T = len(targets)
+    T_pad = ((T + t_tile - 1) // t_tile) * t_tile
+    lt = lt_pad or max((len(t) for t in targets), default=1)
+    t_seqs = np.full((lt, T_pad), x_fill, dtype=np.int32)
+    t_len = np.zeros((1, T_pad), dtype=np.int32)
+    for i, t in enumerate(targets):
+        tt = np.asarray(t, dtype=np.int64)[:lt]
+        t_seqs[:len(tt), i] = tt
+        t_len[0, i] = len(tt)
+    return prof, np.array([[lq]], dtype=np.int32), t_seqs, t_len, T
