@@ -28,7 +28,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # 305 spacer ORFs x 691 target ORFs (247.9M true cells): measured via
 # tools/bench_reference.py -> ~0.33 s wall including DB load; repeated
 # larger runs give the steady-state figure below.
-BASELINE_CELLS_PER_S = 7.5e8
+BASELINE_CELLS_PER_S = 1.03e9
 
 EXAMPLES = "/root/reference/examples"
 REF_BINARY = "/tmp/refbuild/src/spacepharer"
