@@ -57,6 +57,8 @@ def _add_predict_flags(p):
                    help="0: quiet, 1: +errors, 2: +warnings, 3: +info")
     p.add_argument("--force-restart", action="store_true",
                    help="ignore cached stage artifacts in tmpDir")
+    p.add_argument("--remove-tmp-files", type=int, default=0, choices=(0, 1),
+                   help="clear the workflow tmp dir after finishing")
 
 
 def _add_createsetdb_flags(p):
@@ -205,6 +207,9 @@ def cmd_predictmatch(argv):
                          args.controlSetDB], args.force_restart)
     res = predict_match(qdb, tdb, cdb, pp, cache=cache)
     _write_outputs(res, args.output)
+    if args.remove_tmp_files:
+        import shutil
+        shutil.rmtree(args.tmpDir, ignore_errors=True)
     return 0
 
 
@@ -237,6 +242,9 @@ def cmd_easy_predict(argv):
                         args.force_restart)
     res = predict_match(qdb, tdb, cdb, pp, cache=cache)
     _write_outputs(res, output)
+    if args.remove_tmp_files:
+        import shutil
+        shutil.rmtree(tmp, ignore_errors=True)
     return 0
 
 
