@@ -388,7 +388,7 @@ X_COL = 20  # X column index used for target padding (masked by t_len)
 
 def align_query(q_num: np.ndarray, pref_targets: list, target_seqs: list,
                 matrix: ScoringMatrix, params: AlnParams,
-                evaluer: EvalueComputer) -> list:
+                evaluer: EvalueComputer, bias=None) -> list:
     """Align one query against its prefilter candidates, in order.
 
     Fast path: batch-score all candidates, E-value-screen, and run the
@@ -398,7 +398,10 @@ def align_query(q_num: np.ndarray, pref_targets: list, target_seqs: list,
     Returns accepted AlnResults sorted by (eval, -score, t_len, target)
     like Matcher::compareHits.
     """
-    bias = sw_bias_i8(q_num, matrix) if params.comp_bias_corr else None
+    if not pref_targets:
+        return []
+    if bias is None:
+        bias = sw_bias_i8(q_num, matrix) if params.comp_bias_corr else None
     out = []
     batched_ok = (params.max_accept == INT_MAX
                   and params.max_rejected == INT_MAX

@@ -34,6 +34,48 @@ def local_aa_bias(seq_num: np.ndarray, matrix: ScoringMatrix) -> np.ndarray:
     return -win_sum / win_len + expected
 
 
+def local_aa_bias_batch(seqs: list, matrix: ScoringMatrix) -> list:
+    """local_aa_bias over a batch of sequences (padded, masked windows).
+
+    Same arithmetic as the per-sequence version; the window never
+    crosses sequence boundaries because the offset contributions are
+    masked per sequence length.
+    """
+    B = len(seqs)
+    if B == 0:
+        return []
+    lens = np.array([len(s) for s in seqs], dtype=np.int64)
+    L = int(lens.max()) if B else 0
+    if L == 0:
+        return [np.zeros(0) for _ in seqs]
+    mat = np.zeros((B, L), dtype=np.int64)
+    for b, s in enumerate(seqs):
+        mat[b, :len(s)] = s
+    s_tab = matrix.scores.astype(np.float64)
+    rows = s_tab[mat]                          # [B, L, A]
+    win_sum = np.zeros((B, L), dtype=np.float64)
+    i = np.arange(L)
+    valid_pos = i[None, :] < lens[:, None]
+    for d in range(-20, 20):
+        j = i + d
+        ok = (j >= 0) & (j < L)
+        jc = np.clip(j, 0, L - 1)
+        contrib = np.take_along_axis(
+            rows, mat[:, jc][:, :, None], axis=2)[:, :, 0]
+        ok_b = ok[None, :] & (jc[None, :] < lens[:, None])
+        win_sum += np.where(ok_b, contrib, 0.0)
+    win_len = (np.minimum(lens[:, None], i[None, :] + 20)
+               - np.maximum(0, i[None, :] - 20)).astype(np.float64)
+    diag = np.take_along_axis(rows, mat[:, :, None], axis=2)[:, :, 0]
+    win_sum -= diag
+    # same matvec kernel as the per-sequence path (bit-stable)
+    A = rows.shape[2]
+    expected = (rows.reshape(-1, A) @ matrix.p_back).reshape(B, L)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        bias = -win_sum / win_len + expected
+    return [bias[b, :lens[b]] for b in range(B)]
+
+
 def round_half_away(x):
     """C-style (int)(x < 0 ? x - 0.5 : x + 0.5) rounding."""
     x = np.asarray(x, dtype=np.float64)

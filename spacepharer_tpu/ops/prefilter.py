@@ -283,7 +283,8 @@ def prefilter_query(q_num: np.ndarray, index: TargetIndex,
                     params: PrefilterParams,
                     seed_m: Optional[ScoringMatrix] = None,
                     ungapped_m: Optional[ScoringMatrix] = None,
-                    enumerator: Optional[SimilarKmerEnumerator] = None) -> list:
+                    enumerator: Optional[SimilarKmerEnumerator] = None,
+                    bias80: Optional[np.ndarray] = None) -> list:
     """Match one query ORF; returns hits sorted like the reference rows."""
     seed_m = seed_m or load_matrix(params.seed_matrix, 8.0)
     ungapped_m = ungapped_m or load_matrix(params.ungapped_matrix, 2.0)
@@ -293,10 +294,11 @@ def prefilter_query(q_num: np.ndarray, index: TargetIndex,
 
     q_num = np.asarray(q_num, dtype=np.int64)
     lq = len(q_num)
-    if params.comp_bias_corr:
-        bias80 = local_aa_bias(q_num, seed_m)
-    else:
-        bias80 = np.zeros(lq)
+    if bias80 is None:
+        if params.comp_bias_corr:
+            bias80 = local_aa_bias(q_num, seed_m)
+        else:
+            bias80 = np.zeros(lq)
 
     codes, valid = _spaced_codes(q_num, offsets, span, 20)
     n_kmers = len(codes)

@@ -68,10 +68,20 @@ def search_setdbs(query_db: SetDB, target_db: SetDB,
                       params.align.gap_extend),
         sum(len(t) for t in t_aa))
 
+    from ..ops.bias import local_aa_bias_batch
+
+    q_all = [encode_aa(query_db.orf_aa(k).tobytes())
+             for k in range(query_db.n_orfs)]
+    if params.prefilter.comp_bias_corr:
+        bias80_all = local_aa_bias_batch(q_all, seed_m)
+    else:
+        bias80_all = [np.zeros(len(q)) for q in q_all]
+
     def _one_query(qkey):
-        q = encode_aa(query_db.orf_aa(qkey).tobytes())
+        q = q_all[qkey]
         hits = prefilter_query(q, index, params.prefilter,
-                               enumerator=enumerator)
+                               enumerator=enumerator,
+                               bias80=bias80_all[qkey])
         results = align_query(q, [h.target for h in hits], t_aa, m40,
                               params.align, evaluer)
         return [r.row_fields() for r in results]
