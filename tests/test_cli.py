@@ -1,0 +1,63 @@
+"""CLI smoke tests: the command surface end-to-end via subprocess."""
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_cli(args, cwd):
+    env = dict(os.environ, PYTHONPATH=REPO)
+    return subprocess.run([sys.executable, "-m", "spacepharer_tpu"] + args,
+                          capture_output=True, text=True, cwd=cwd, env=env)
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory, examples_dir):
+    d = tmp_path_factory.mktemp("cli")
+    genomes = sorted(
+        os.path.join(examples_dir, f) for f in os.listdir(examples_dir)
+        if f.startswith("GCA_"))
+    r = run_cli(["createsetdb"] + genomes + ["targets", "tmp"], d)
+    assert r.returncode == 0, r.stderr
+    r = run_cli(["createsetdb"] + genomes
+                + ["targets_rev", "tmp", "--reverse-fragments", "1"], d)
+    assert r.returncode == 0, r.stderr
+    return d
+
+
+def test_cli_easy_predict_and_resume(workdir, examples_dir):
+    spacers = [os.path.join(examples_dir, "CP003088.fas"),
+               os.path.join(examples_dir, "JNGQ01000029.fas")]
+    r = run_cli(["easy-predict"] + spacers
+                + ["targets", "out.tsv", "tmp", "-v", "2"], workdir)
+    assert r.returncode == 0, r.stderr
+    text = (workdir / "out.tsv").read_text()
+    assert sum(1 for l in text.split("\n") if l.startswith("#")) == 6
+    # resume run must be fast and produce identical output
+    r2 = run_cli(["easy-predict"] + spacers
+                 + ["targets", "out2.tsv", "tmp", "-v", "3"], workdir)
+    assert r2.returncode == 0
+    assert "[resume]" in r2.stdout
+    assert (workdir / "out2.tsv").read_text() == text
+
+
+def test_cli_predictmatch_fmt0(workdir, examples_dir):
+    spacers = [os.path.join(examples_dir, "CP003088.fas")]
+    r = run_cli(["parsespacer"] + spacers + ["qdb"], workdir)
+    assert r.returncode == 0, r.stderr
+    r = run_cli(["createsetdb", "qdb", "qsetdb", "tmp"], workdir)
+    assert r.returncode == 0, r.stderr
+    r = run_cli(["predictmatch", "qsetdb", "targets", "targets_rev",
+                 "out0.tsv", "tmp", "--fmt", "0"], workdir)
+    assert r.returncode == 0, r.stderr
+    lines = (workdir / "out0.tsv").read_text().strip().split("\n")
+    assert lines and all(l.startswith("#") for l in lines if l)
+
+
+def test_cli_unknown_command():
+    r = run_cli(["bogus"], "/tmp")
+    assert r.returncode == 1
+    assert "Unknown command" in r.stderr
