@@ -35,7 +35,8 @@ def test_cli_easy_predict_and_resume(workdir, examples_dir):
                 + ["targets", "out.tsv", "tmp", "-v", "2"], workdir)
     assert r.returncode == 0, r.stderr
     text = (workdir / "out.tsv").read_text()
-    assert sum(1 for l in text.split("\n") if l.startswith("#")) == 6
+    hits = [l for l in text.split("\n") if l.startswith(">")]
+    assert sum(1 for l in hits if float(l.split("\t")[2]) < 1e-3) == 6
     # resume run must be fast and produce identical output
     r2 = run_cli(["easy-predict"] + spacers
                  + ["targets", "out2.tsv", "tmp", "-v", "3"], workdir)
