@@ -55,6 +55,9 @@ def _add_predict_flags(p):
                         "(pays off on large corpora; output-identical)")
     p.add_argument("-v", "--verbosity", type=int, default=3,
                    help="0: quiet, 1: +errors, 2: +warnings, 3: +info")
+    p.add_argument("--dump-stages", type=str, default=None,
+                   help="write every stage table as entry TSVs to this dir "
+                        "(input format of the expert subcommands)")
     p.add_argument("--force-restart", action="store_true",
                    help="ignore cached stage artifacts in tmpDir")
     p.add_argument("--remove-tmp-files", type=int, default=0, choices=(0, 1),
@@ -205,7 +208,8 @@ def cmd_predictmatch(argv):
     cache = _make_cache(args.tmpDir, "predictmatch", pp,
                         [args.querySetDB, args.targetSetDB,
                          args.controlSetDB], args.force_restart)
-    res = predict_match(qdb, tdb, cdb, pp, cache=cache)
+    res = predict_match(qdb, tdb, cdb, pp, cache=cache,
+                        dump_stages=args.dump_stages)
     _write_outputs(res, args.output)
     if args.remove_tmp_files:
         import shutil
@@ -240,7 +244,8 @@ def cmd_easy_predict(argv):
     pp = _predict_params(args)
     cache = _make_cache(tmp, "easy-predict", pp, files + [target],
                         args.force_restart)
-    res = predict_match(qdb, tdb, cdb, pp, cache=cache)
+    res = predict_match(qdb, tdb, cdb, pp, cache=cache,
+                        dump_stages=args.dump_stages)
     _write_outputs(res, output)
     if args.remove_tmp_files:
         import shutil
@@ -267,6 +272,12 @@ COMMANDS = {
     "parsespacer": cmd_parsespacer,
     "downloaddb": cmd_downloaddb,
 }
+
+# expert modules (src/spacepharer.cpp:61-135); registered lazily so the
+# main commands don't pay their imports
+from .cli_expert import EXPERT_COMMANDS  # noqa: E402
+
+COMMANDS.update(EXPERT_COMMANDS)
 
 
 def main(argv=None):

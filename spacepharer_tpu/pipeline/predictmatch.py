@@ -185,7 +185,7 @@ def _aggregate_chain(result: dict, query_db: SetDB, target_db: SetDB):
     merged = merge_results_by_set(aggregate, dict(sorted(set_to_members.items())))
     cscore = {qset: combine_score(rows, int(query_db.set_size[qset]), t_m2s)
               for qset, rows in merged.items()}
-    return aggregate, cscore
+    return aggregate, merged, cscore
 
 
 @dataclass
@@ -204,7 +204,8 @@ class PredictResult:
 
 def predict_match(query_db: SetDB, target_db: SetDB, control_db: SetDB,
                   params: Optional[PredictParams] = None,
-                  taxonomy=None, cache=None) -> PredictResult:
+                  taxonomy=None, cache=None,
+                  dump_stages: Optional[str] = None) -> PredictResult:
     from ..logging import stage_timer
     from .workflow import NullCache
 
@@ -212,14 +213,15 @@ def predict_match(query_db: SetDB, target_db: SetDB, control_db: SetDB,
     cache = cache or NullCache()
 
     with stage_timer("search"):
-        result = cache.get_or_compute(
+        search_result = cache.get_or_compute(
             "result", lambda: search_setdbs(query_db, target_db, params))
-    aggregate, cscore = _aggregate_chain(result, query_db, target_db)
+    aggregate, merged, cscore = _aggregate_chain(search_result, query_db,
+                                                 target_db)
 
     with stage_timer("search_rev"):
         result_rev = cache.get_or_compute(
             "result_rev", lambda: search_setdbs(query_db, control_db, params))
-    _, cscore_rev = _aggregate_chain(result_rev, query_db, control_db)
+    _, _, cscore_rev = _aggregate_chain(result_rev, query_db, control_db)
 
     match, messages = filter_match_by_fdr(cscore, cscore_rev, params.fdr,
                                           params.report_fdr)
@@ -241,6 +243,20 @@ def predict_match(query_db: SetDB, target_db: SetDB, control_db: SetDB,
                              taxonomy=None)
     result = PredictResult(text, match, cscore, cscore_rev, aln_merged,
                            aggregate, truncated, messages)
+
+    if dump_stages:
+        # entry-TSV snapshots of every stage table, consumable by the
+        # expert subcommands (the tmp-DB analog of predictmatch.sh)
+        from ..io.entries_tsv import write_entries
+        os.makedirs(dump_stages, exist_ok=True)
+        stage_tables = {
+            "result": search_result, "result_rev": result_rev,
+            "aggregate": aggregate, "merged": merged, "cscore": cscore,
+            "cscore_rev": cscore_rev, "match": match, "truncated": truncated,
+            "aln": aln_merged,
+        }
+        for name, table in stage_tables.items():
+            write_entries(table, os.path.join(dump_stages, name + ".tsv"))
 
     # taxonomy reports (data/predictmatch.sh:170-230)
     from ..tax.lcasteps import (aggregate_tax, majority_lca_per_target,
