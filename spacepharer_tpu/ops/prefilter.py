@@ -225,8 +225,41 @@ class SimilarKmerEnumerator:
         self.half = half
         self.n_half = 20 ** half
         self.cache = {}
+        self.full_scores = None  # [20^3, 20^3] int16, precomputed table
+        self.full_codes = None
+
+    def precompute_all(self):
+        """Materialize every 3-mer's sorted half list at once — the
+        reference's ExtendedSubstitutionMatrix startup table
+        (lib/mmseqs/src/commons/ExtendedSubstitutionMatrix.cpp), ~256MB.
+        Opt-in for long-running services; the lazy radix-sorted cache
+        (~0.1ms/miss, <=8000 misses) wins for one-shot runs. int16 is
+        exact: half scores are bounded by 3*max|S| << 2^15 and half
+        codes by 20^3."""
+        if self.full_scores is not None:
+            return
+        n = self.n_half
+        scores = np.empty((n, n), dtype=np.int16)
+        codes = np.empty((n, n), dtype=np.int16)
+        base = self.s80[:20, :20].astype(np.int32)
+        row = 0
+        for a in range(20):
+            for b in range(20):
+                sab = base[a][:, None, None] + base[b][None, :, None]
+                for c in range(20):
+                    s = (sab + base[c][None, None, :]).reshape(-1)
+                    # int16 key -> NumPy radix sort, O(n) and stable
+                    order = np.argsort((-s).astype(np.int16), kind="stable")
+                    scores[row] = s[order]
+                    codes[row] = order
+                    row += 1
+        self.full_scores = scores
+        self.full_codes = codes
 
     def half_list(self, tri):
+        if self.full_scores is not None and tri.max() < 20:
+            row = int(tri[0]) * 400 + int(tri[1]) * 20 + int(tri[2])
+            return self.full_scores[row], self.full_codes[row]
         key = bytes(tri)
         hit = self.cache.get(key)
         if hit is not None:
@@ -235,7 +268,9 @@ class SimilarKmerEnumerator:
             + self.s80[tri[1], :20][None, :, None] \
             + self.s80[tri[2], :20][None, None, :]
         s = s.reshape(-1)
-        order = np.lexsort((np.arange(self.n_half), -s))
+        # stable argsort on -s == (score desc, code asc), the
+        # calculateArrayProduct order; int16 key selects radix sort
+        order = np.argsort((-s).astype(np.int16), kind="stable")
         entry = (s[order], order.astype(np.int64))
         self.cache[key] = entry
         return entry
@@ -254,7 +289,8 @@ class SimilarKmerEnumerator:
         rep_i = np.repeat(np.arange(n1), n2)
         starts = np.concatenate(([0], np.cumsum(n2)[:-1]))
         pos_j = np.arange(total) - np.repeat(starts, n2)
-        return c1[rep_i] * self.n_half + c2[pos_j]
+        return (c1[rep_i].astype(np.int64) * self.n_half
+                + c2[pos_j].astype(np.int64))
 
 
 def _bin_bits(db_size: int) -> int:
