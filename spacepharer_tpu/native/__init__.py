@@ -8,7 +8,8 @@ import sys
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _LIB_PATH = os.path.join(_DIR, "_spacepharer_native.so")
-_SOURCES = [os.path.join(_DIR, "tantan_native.c")]
+_SOURCES = [os.path.join(_DIR, "tantan_native.c"),
+            os.path.join(_DIR, "sw_native.c")]
 
 _lib = None
 _tried = False
@@ -47,6 +48,26 @@ def get_lib():
         ctypes.c_void_p, ctypes.c_int64,
         ctypes.c_int, ctypes.c_double, ctypes.c_double, ctypes.c_double,
         ctypes.c_double, ctypes.c_void_p,
+    ]
+    lib.sw_forward.restype = None
+    lib.sw_forward.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
+        ctypes.c_void_p, ctypes.c_int64,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_void_p,
+    ]
+    lib.sw_forward_batch.restype = None
+    lib.sw_forward_batch.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_void_p,
+    ]
+    lib.build_postings.restype = ctypes.c_int64
+    lib.build_postings.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_void_p, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
     ]
     _lib = lib
     return _lib

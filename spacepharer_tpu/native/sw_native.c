@@ -1,0 +1,187 @@
+/* Smith-Waterman forward pass + k-mer postings builder — native hot paths.
+ *
+ * sw_forward replicates spacepharer_tpu.ops.align._forward_pass cell for
+ * cell (Farrar semantics of the reference's sw_sse2_byte/word,
+ * lib/mmseqs/src/alignment/StripedSmithWaterman.cpp:301-520: the E update
+ * reads H before the lazy-F correction; end cell = first target column
+ * attaining a strictly greater running max, min query row within it).
+ *
+ * build_postings replicates the posting-list construction of
+ * ops.prefilter.build_target_index (the CSR k-mer index of
+ * lib/mmseqs/src/prefiltering/IndexTable.h:25-38 re-expressed as
+ * radix-sorted (code, seq, first-pos) triples).
+ */
+#include <stdint.h>
+#include <stdlib.h>
+#include <string.h>
+
+#define NEG_F (-(int64_t)1 << 40)
+
+/* prof: per-letter query profile rows, prof + a*stride, int32, length lq
+ * (already includes the int8 composition bias).
+ * reverse=1 flips both axes (prefix-rectangle reverse pass): row i reads
+ * tseq[lt-1-i], column j reads prof column lq-1-j; outputs stay in the
+ * reversed frame, matching _forward_pass(sub_rev). */
+void sw_forward(const int32_t *prof, int64_t stride, int32_t lq,
+                const uint8_t *tseq, int64_t lt,
+                int32_t gap_open, int32_t gap_extend, int32_t reverse,
+                int64_t *out /* best, t_end, q_end */) {
+    int32_t stackH[512], stackE[512];
+    int32_t *H = stackH, *E = stackE;
+    if (lq > 512) {
+        H = (int32_t *)malloc(sizeof(int32_t) * lq);
+        E = (int32_t *)malloc(sizeof(int32_t) * lq);
+    }
+    memset(H, 0, sizeof(int32_t) * lq);
+    memset(E, 0, sizeof(int32_t) * lq);
+    int32_t best = 0;
+    int64_t t_end = -1;
+    int32_t q_end = lq - 1;
+    for (int64_t i = 0; i < lt; i++) {
+        uint8_t c = tseq[reverse ? (lt - 1 - i) : i];
+        const int32_t *prow = prof + (int64_t)c * stride;
+        int32_t hdiag = 0;
+        int64_t F = NEG_F;
+        int32_t rowmax = -1;
+        int32_t rowarg = -1;
+        if (reverse) {
+            for (int32_t j = 0; j < lq; j++) {
+                int32_t hp = hdiag + prow[lq - 1 - j];
+                if (hp < 0) hp = 0;
+                if (E[j] > hp) hp = E[j];
+                int32_t e1 = hp - gap_open, e2 = E[j] - gap_extend;
+                int32_t en = e1 > e2 ? e1 : e2;
+                if (en < 0) en = 0;
+                hdiag = H[j];
+                E[j] = en;
+                int32_t h = hp;
+                if (F > h) h = (int32_t)F;
+                int64_t f2 = (int64_t)hp - gap_open;
+                F -= gap_extend;
+                if (f2 > F) F = f2;
+                H[j] = h;
+                if (h > rowmax) { rowmax = h; rowarg = j; }
+            }
+        } else {
+            for (int32_t j = 0; j < lq; j++) {
+                int32_t hp = hdiag + prow[j];
+                if (hp < 0) hp = 0;
+                if (E[j] > hp) hp = E[j];
+                int32_t e1 = hp - gap_open, e2 = E[j] - gap_extend;
+                int32_t en = e1 > e2 ? e1 : e2;
+                if (en < 0) en = 0;
+                hdiag = H[j];
+                E[j] = en;
+                int32_t h = hp;
+                if (F > h) h = (int32_t)F;
+                int64_t f2 = (int64_t)hp - gap_open;
+                F -= gap_extend;
+                if (f2 > F) F = f2;
+                H[j] = h;
+                if (h > rowmax) { rowmax = h; rowarg = j; }
+            }
+        }
+        if (rowmax > best) { best = rowmax; t_end = i; q_end = rowarg; }
+    }
+    out[0] = best;
+    out[1] = t_end;
+    out[2] = q_end;
+    if (H != stackH) { free(H); free(E); }
+}
+
+/* Scores-only batch: one query profile vs n concatenated targets
+ * (tcat, offsets t_off[n+1]); fills out_score[n]. */
+void sw_forward_batch(const int32_t *prof, int64_t stride, int32_t lq,
+                      const uint8_t *tcat, const int64_t *t_off, int64_t n,
+                      int32_t gap_open, int32_t gap_extend,
+                      int32_t *out_score) {
+    int64_t out[3];
+    for (int64_t b = 0; b < n; b++) {
+        sw_forward(prof, stride, lq, tcat + t_off[b],
+                   t_off[b + 1] - t_off[b], gap_open, gap_extend, 0, out);
+        out_score[b] = (int32_t)out[0];
+    }
+}
+
+typedef struct {
+    int32_t code;
+    int32_t seq;
+    int32_t pos;
+} posting_t;
+
+/* Spaced k-mer postings: scan flat (X-separated) masked sequences,
+ * emit one (code, seq, first-pos) record per (seq, code), sorted by
+ * (code, seq). Returns the record count; caller provides out arrays of
+ * capacity n_flat. Order parity: records are generated seq-major with
+ * ascending positions, then stably radix-sorted by code, so equal-code
+ * runs stay seq-ordered and the first record per (code, seq) carries
+ * the minimal position — identical to the NumPy construction. */
+int64_t build_postings(const uint8_t *flat, int64_t n_flat,
+                       const int32_t *offsets, int32_t k, int32_t span,
+                       const int64_t *seq_starts, int64_t n_seqs,
+                       const int32_t *self_scores, int32_t kmer_thr,
+                       int32_t x_idx,
+                       int32_t *out_code, int32_t *out_seq,
+                       int32_t *out_pos) {
+    int64_t n_win = n_flat - span + 1;
+    if (n_win <= 0 || n_seqs <= 0) return 0;
+
+    posting_t *rec = (posting_t *)malloc(sizeof(posting_t) * n_win);
+    int64_t cnt = 0;
+    int64_t cur_seq = 0;
+    for (int64_t p = 0; p < n_win; p++) {
+        while (cur_seq + 1 < n_seqs && p >= seq_starts[cur_seq + 1])
+            cur_seq++;
+        int64_t code = 0;
+        int32_t self = 0;
+        int valid = 1;
+        for (int32_t o = 0; o < k; o++) {
+            uint8_t c = flat[p + offsets[o]];
+            if (c == x_idx) { valid = 0; break; }
+            code = code * 20 + c;
+            self += self_scores[c];
+        }
+        if (valid && self >= kmer_thr) {
+            rec[cnt].code = (int32_t)code;
+            rec[cnt].seq = (int32_t)cur_seq;
+            rec[cnt].pos = (int32_t)(p - seq_starts[cur_seq]);
+            cnt++;
+        }
+    }
+
+    /* stable LSD radix sort by code: 2 passes x 16 bits */
+    posting_t *aux = (posting_t *)malloc(sizeof(posting_t) * cnt);
+    static const int32_t RAD = 1 << 16, MASK = (1 << 16) - 1;
+    int64_t *count = (int64_t *)malloc(sizeof(int64_t) * RAD);
+    posting_t *src = rec, *dst = aux;
+    for (int shift = 0; shift <= 16; shift += 16) {
+        memset(count, 0, sizeof(int64_t) * RAD);
+        for (int64_t i = 0; i < cnt; i++)
+            count[(src[i].code >> shift) & MASK]++;
+        int64_t sum = 0;
+        for (int32_t v = 0; v < RAD; v++) {
+            int64_t c = count[v];
+            count[v] = sum;
+            sum += c;
+        }
+        for (int64_t i = 0; i < cnt; i++)
+            dst[count[(src[i].code >> shift) & MASK]++] = src[i];
+        posting_t *tmp = src; src = dst; dst = tmp;
+    }
+    free(count);
+
+    /* dedup consecutive (code, seq), keep first (minimal pos) */
+    int64_t out_n = 0;
+    for (int64_t i = 0; i < cnt; i++) {
+        if (i > 0 && src[i].code == src[i - 1].code
+                  && src[i].seq == src[i - 1].seq)
+            continue;
+        out_code[out_n] = src[i].code;
+        out_seq[out_n] = src[i].seq;
+        out_pos[out_n] = src[i].pos;
+        out_n++;
+    }
+    free(rec);
+    free(aux);
+    return out_n;
+}

@@ -160,6 +160,11 @@ def _forward_pass(sub: np.ndarray, gap_open: int, gap_extend: int):
     return best, t_end, q_end
 
 
+def _native_lib():
+    from ..native import get_lib
+    return get_lib()
+
+
 def sw_align(q_num: np.ndarray, t_num: np.ndarray, matrix: ScoringMatrix,
              params: AlnParams, evaluer: EvalueComputer,
              bias: Optional[np.ndarray] = None) -> Optional[AlnResult]:
@@ -169,16 +174,33 @@ def sw_align(q_num: np.ndarray, t_num: np.ndarray, matrix: ScoringMatrix,
         bias = np.zeros(lq, dtype=np.int64)
     # per-position query profile scores: P[j][a] = S[q_j][a] + bias[j]
     prof = matrix.scores[q_num].astype(np.int64) + bias[:, None]
-    sub = prof[:, t_num].T.copy()        # [Lt, Lq]
 
-    score, t_end, q_end = _forward_pass(sub, params.gap_open, params.gap_extend)
-    if t_end < 0:
-        return None
+    lib = _native_lib()
+    if lib is not None:
+        prof_t = np.ascontiguousarray(prof.T, dtype=np.int32)
+        t8 = np.ascontiguousarray(t_num, dtype=np.uint8)
+        out = np.zeros(3, dtype=np.int64)
+        lib.sw_forward(prof_t.ctypes.data, lq, lq, t8.ctypes.data, lt,
+                       params.gap_open, params.gap_extend, 0,
+                       out.ctypes.data)
+        score, t_end, q_end = int(out[0]), int(out[1]), int(out[2])
+        if t_end < 0:
+            return None
+        lib.sw_forward(prof_t.ctypes.data, lq, q_end + 1, t8.ctypes.data,
+                       t_end + 1, params.gap_open, params.gap_extend, 1,
+                       out.ctypes.data)
+        rscore, rt_end, rq_end = int(out[0]), int(out[1]), int(out[2])
+    else:
+        sub_full = prof[:, t_num].T.copy()        # [Lt, Lq]
+        score, t_end, q_end = _forward_pass(
+            sub_full, params.gap_open, params.gap_extend)
+        if t_end < 0:
+            return None
+        sub_rev = sub_full[:t_end + 1, :q_end + 1][::-1, ::-1]
+        rscore, rt_end, rq_end = _forward_pass(
+            sub_rev, params.gap_open, params.gap_extend)
 
     evalue = float(evaluer.evalue(score, lq))
-    # reverse pass on the prefix rectangle
-    sub_rev = sub[:t_end + 1, :q_end + 1][::-1, ::-1]
-    rscore, rt_end, rq_end = _forward_pass(sub_rev, params.gap_open, params.gap_extend)
     assert rscore == score, (rscore, score)
     t_start = t_end - rt_end
     q_start = q_end - rq_end
@@ -186,8 +208,9 @@ def sw_align(q_num: np.ndarray, t_num: np.ndarray, matrix: ScoringMatrix,
     q_cov = (q_end + 1 - q_start) / lq
     t_cov = (t_end + 1 - t_start) / lt
 
+    sub_rect = prof[q_start:q_end + 1][:, t_num[t_start:t_end + 1]].T.copy()
     backtrace, aa_ids = _banded_backtrace(
-        sub[t_start:t_end + 1, q_start:q_end + 1], score,
+        sub_rect, score,
         params.gap_open, params.gap_extend,
         q_num[q_start:q_end + 1], t_num[t_start:t_end + 1])
 
@@ -349,6 +372,19 @@ def batch_forward_scores(q_num: np.ndarray, targets: list,
     prof = matrix.scores[q_num].astype(np.int64)
     if bias is not None:
         prof = prof + bias[:, None]
+
+    lib = _native_lib()
+    if lib is not None:
+        prof_t = np.ascontiguousarray(prof.T, dtype=np.int32)
+        t_off = np.zeros(B + 1, dtype=np.int64)
+        np.cumsum([len(t) for t in targets], out=t_off[1:])
+        tcat = np.concatenate(
+            [np.asarray(t, dtype=np.uint8) for t in targets])
+        scores = np.zeros(B, dtype=np.int32)
+        lib.sw_forward_batch(prof_t.ctypes.data, lq, lq,
+                             tcat.ctypes.data, t_off.ctypes.data, B,
+                             gap_open, gap_extend, scores.ctypes.data)
+        return scores.astype(np.int64)
     # sub[b, j] per column i: gather prof[:, t_b[i]]; pad targets with X
     t_mat = np.full((B, lt), X_COL, dtype=np.int64)
     t_len = np.zeros(B, dtype=np.int64)

@@ -127,6 +127,29 @@ def build_target_index(aa_seqs: list, params: PrefilterParams) -> TargetIndex:
         seq_starts = np.zeros(n_seqs + 1, dtype=np.int64)
         np.cumsum([len(ms) + span - 1 for ms in masked_all],
                   out=seq_starts[1:])
+        from ..native import get_lib
+        lib = get_lib()
+        if lib is not None and len(flat):
+            flat8 = np.ascontiguousarray(flat, dtype=np.uint8)
+            offs32 = np.ascontiguousarray(offsets, dtype=np.int32)
+            self32 = np.zeros(32, dtype=np.int32)
+            self32[:len(self_scores)] = self_scores
+            cap = len(flat8)
+            out_code = np.zeros(cap, dtype=np.int32)
+            out_seq = np.zeros(cap, dtype=np.int32)
+            out_pos = np.zeros(cap, dtype=np.int32)
+            n = lib.build_postings(
+                flat8.ctypes.data, len(flat8),
+                offs32.ctypes.data, len(offs32), span,
+                seq_starts.ctypes.data, n_seqs,
+                self32.ctypes.data, int(kmer_thr), X_IDX,
+                out_code.ctypes.data, out_seq.ctypes.data,
+                out_pos.ctypes.data)
+            codes = out_code[:n].astype(np.int64)
+            post_seq = out_seq[:n].copy()
+            post_pos = out_pos[:n].copy()
+            return _finish_index(aa_seqs, masked_seqs, codes, post_seq,
+                                 post_pos, params, db_residues)
         codes_f, valid_f = _spaced_codes(flat, offsets, span, 20)
         if len(codes_f):
             gpos = np.flatnonzero(valid_f)
@@ -161,7 +184,21 @@ def build_target_index(aa_seqs: list, params: PrefilterParams) -> TargetIndex:
                        + post_seq.astype(np.int64), kind="stable") \
         if len(codes) else np.zeros(0, dtype=np.int64)
     codes, post_seq, post_pos = codes[order], post_seq[order], post_pos[order]
-    uniq_codes, ustart = np.unique(codes, return_index=True)
+    return _finish_index(aa_seqs, masked_seqs, codes, post_seq, post_pos,
+                         params, db_residues)
+
+
+def _finish_index(aa_seqs, masked_seqs, codes, post_seq, post_pos,
+                  params, db_residues) -> TargetIndex:
+    """Postings (already in final (code, seq) order) -> TargetIndex."""
+    if len(codes):
+        boundary = np.concatenate(
+            ([True], codes[1:] != codes[:-1]))
+        ustart = np.flatnonzero(boundary)
+        uniq_codes = codes[ustart]
+    else:
+        ustart = np.zeros(0, dtype=np.int64)
+        uniq_codes = np.zeros(0, dtype=np.int64)
     uniq_start = np.concatenate([ustart, [len(codes)]]).astype(np.int64)
     # decompose unique codes into letters
     k = params.kmer_size

@@ -1,0 +1,89 @@
+"""Native C kernels (sw_native.c) vs the NumPy reference implementations.
+
+The NumPy paths are themselves byte-parity-tested against the reference
+binary (tests/test_alignment.py, test_prefilter.py); these tests pin the
+native kernels to the NumPy semantics cell for cell so either path can
+serve any query.
+"""
+import numpy as np
+import pytest
+
+from spacepharer_tpu.native import get_lib
+from spacepharer_tpu.ops import prefilter as pf
+from spacepharer_tpu.ops.align import _forward_pass, batch_forward_scores
+from spacepharer_tpu.ops.matrices import load_matrix
+
+pytestmark = pytest.mark.skipif(get_lib() is None,
+                                reason="no C compiler available")
+
+
+def _rand_seq(rng, n, hi=20):
+    return rng.integers(0, hi, size=n).astype(np.int64)
+
+
+def test_sw_forward_matches_numpy_forward_pass():
+    lib = get_lib()
+    m = load_matrix("VTML40.out", 2.0)
+    rng = np.random.default_rng(7)
+    for trial in range(200):
+        lq = int(rng.integers(1, 40))
+        lt = int(rng.integers(1, 120))
+        q = _rand_seq(rng, lq)
+        t = _rand_seq(rng, lt)
+        bias = rng.integers(-3, 4, size=lq)
+        prof = m.scores[q].astype(np.int64) + bias[:, None]
+        sub = prof[:, t].T.copy()
+        ref = _forward_pass(sub, 16, 2)
+
+        prof_t = np.ascontiguousarray(prof.T, dtype=np.int32)
+        t8 = t.astype(np.uint8)
+        out = np.zeros(3, dtype=np.int64)
+        lib.sw_forward(prof_t.ctypes.data, lq, lq, t8.ctypes.data, lt,
+                       16, 2, 0, out.ctypes.data)
+        assert tuple(out) == ref, trial
+
+        # reverse pass on the prefix rectangle
+        score, t_end, q_end = ref
+        if t_end >= 0:
+            sub_rev = sub[:t_end + 1, :q_end + 1][::-1, ::-1]
+            rref = _forward_pass(sub_rev, 16, 2)
+            lib.sw_forward(prof_t.ctypes.data, lq, q_end + 1,
+                           t8.ctypes.data, t_end + 1, 16, 2, 1,
+                           out.ctypes.data)
+            assert tuple(out) == rref, trial
+
+
+def test_batch_forward_scores_native_vs_numpy(monkeypatch):
+    m = load_matrix("VTML40.out", 2.0)
+    rng = np.random.default_rng(11)
+    q = _rand_seq(rng, 22)
+    targets = [_rand_seq(rng, int(rng.integers(5, 200))) for _ in range(50)]
+    bias = rng.integers(-2, 3, size=len(q))
+
+    native = batch_forward_scores(q, targets, m, 16, 2, bias)
+    import spacepharer_tpu.ops.align as align_mod
+    monkeypatch.setattr(align_mod, "_native_lib", lambda: None)
+    ref = batch_forward_scores(q, targets, m, 16, 2, bias)
+    assert np.array_equal(native, ref)
+
+
+def test_build_postings_native_vs_numpy(monkeypatch):
+    rng = np.random.default_rng(3)
+    # sequences with X runs (simulating tantan masks) and short tails
+    seqs = []
+    for _ in range(40):
+        s = _rand_seq(rng, int(rng.integers(3, 400)), hi=20)
+        if len(s) > 30:
+            a = int(rng.integers(0, len(s) - 10))
+            s[a:a + int(rng.integers(1, 9))] = pf.X_IDX
+        seqs.append(s)
+    params = pf.PrefilterParams(mask=False)
+
+    idx_native = pf.build_target_index(seqs, params)
+    import spacepharer_tpu.native as nat
+    monkeypatch.setattr(nat, "get_lib", lambda: None)
+    idx_numpy = pf.build_target_index(seqs, params)
+
+    for f in ["codes", "post_seq", "post_pos", "uniq_codes", "uniq_start",
+              "uniq_letters"]:
+        assert np.array_equal(getattr(idx_native, f), getattr(idx_numpy, f)), f
