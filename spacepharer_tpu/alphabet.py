@@ -85,6 +85,11 @@ def encode_aa(seq):
     return _AA_LUT[np.frombuffer(_as_bytes(seq), dtype=np.uint8)]
 
 
+def encode_aa_array(arr: np.ndarray) -> np.ndarray:
+    """ASCII uint8 array -> uint8 indices, vectorized (no copy round-trip)."""
+    return _AA_LUT[arr]
+
+
 def encode_nucl(seq):
     """ASCII bytes/str -> uint8 indices in NUCL_ALPHABET ('ACTGX') order."""
     return _NUCL_LUT[np.frombuffer(_as_bytes(seq), dtype=np.uint8)]

@@ -82,6 +82,12 @@ class SetDB:
     def orf_aa(self, i: int) -> np.ndarray:
         return self.orf_aa_data[self.orf_aa_offsets[i]:self.orf_aa_offsets[i + 1]]
 
+    def orf_aa_encoded(self):
+        """All ORF AA sequences in the matrix alphabet, one vectorized
+        pass: (flat uint8 indices, offsets int64 [n_orfs+1])."""
+        from ..alphabet import encode_aa_array
+        return encode_aa_array(self.orf_aa_data), self.orf_aa_offsets
+
     def orf_nucl(self, i: int) -> np.ndarray:
         return self.orf_nucl_data[self.orf_nucl_offsets[i]:self.orf_nucl_offsets[i + 1]]
 

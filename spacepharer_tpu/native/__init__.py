@@ -17,7 +17,8 @@ _tried = False
 
 def _build() -> bool:
     cc = os.environ.get("CC", "cc")
-    cmd = [cc, "-O2", "-shared", "-fPIC", "-o", _LIB_PATH] + _SOURCES
+    cmd = [cc, "-O2", "-shared", "-fPIC", "-pthread",
+           "-o", _LIB_PATH] + _SOURCES
     try:
         subprocess.run(cmd, check=True, capture_output=True)
         return True

@@ -109,13 +109,15 @@ typedef struct {
     int32_t pos;
 } posting_t;
 
-/* Spaced k-mer postings: scan flat (X-separated) masked sequences,
- * emit one (code, seq, first-pos) record per (seq, code), sorted by
- * (code, seq). Returns the record count; caller provides out arrays of
- * capacity n_flat. Order parity: records are generated seq-major with
- * ascending positions, then stably radix-sorted by code, so equal-code
- * runs stay seq-ordered and the first record per (code, seq) carries
- * the minimal position — identical to the NumPy construction. */
+/* Spaced k-mer postings: scan the concatenated masked sequences
+ * (flat, boundaries seq_starts[n+1], no separators — windows never
+ * cross a boundary), emit one (code, seq, first-pos) record per
+ * (seq, code), sorted by (code, seq). Returns the record count; caller
+ * provides out arrays of capacity n_flat. Order parity: records are
+ * generated seq-major with ascending positions, then stably
+ * radix-sorted by code, so equal-code runs stay seq-ordered and the
+ * first record per (code, seq) carries the minimal position —
+ * identical to the NumPy construction. */
 int64_t build_postings(const uint8_t *flat, int64_t n_flat,
                        const int32_t *offsets, int32_t k, int32_t span,
                        const int64_t *seq_starts, int64_t n_seqs,
@@ -123,29 +125,48 @@ int64_t build_postings(const uint8_t *flat, int64_t n_flat,
                        int32_t x_idx,
                        int32_t *out_code, int32_t *out_seq,
                        int32_t *out_pos) {
-    int64_t n_win = n_flat - span + 1;
-    if (n_win <= 0 || n_seqs <= 0) return 0;
+    if (n_flat < span || n_seqs <= 0) return 0;
 
-    posting_t *rec = (posting_t *)malloc(sizeof(posting_t) * n_win);
+    /* count pass -> exact allocation (avoids a worst-case buffer) */
     int64_t cnt = 0;
-    int64_t cur_seq = 0;
-    for (int64_t p = 0; p < n_win; p++) {
-        while (cur_seq + 1 < n_seqs && p >= seq_starts[cur_seq + 1])
-            cur_seq++;
-        int64_t code = 0;
-        int32_t self = 0;
-        int valid = 1;
-        for (int32_t o = 0; o < k; o++) {
-            uint8_t c = flat[p + offsets[o]];
-            if (c == x_idx) { valid = 0; break; }
-            code = code * 20 + c;
-            self += self_scores[c];
+    for (int64_t s = 0; s < n_seqs; s++) {
+        const uint8_t *seq = flat + seq_starts[s];
+        int64_t n_win = (seq_starts[s + 1] - seq_starts[s]) - span + 1;
+        for (int64_t p = 0; p < n_win; p++) {
+            int64_t code = 0;
+            int32_t self = 0;
+            int valid = 1;
+            for (int32_t o = 0; o < k; o++) {
+                uint8_t c = seq[p + offsets[o]];
+                if (c == x_idx) { valid = 0; break; }
+                code = code * 20 + c;
+                self += self_scores[c];
+            }
+            if (valid && self >= kmer_thr) cnt++;
         }
-        if (valid && self >= kmer_thr) {
-            rec[cnt].code = (int32_t)code;
-            rec[cnt].seq = (int32_t)cur_seq;
-            rec[cnt].pos = (int32_t)(p - seq_starts[cur_seq]);
-            cnt++;
+    }
+    if (cnt == 0) return 0;
+    posting_t *rec = (posting_t *)malloc(sizeof(posting_t) * cnt);
+    cnt = 0;
+    for (int64_t s = 0; s < n_seqs; s++) {
+        const uint8_t *seq = flat + seq_starts[s];
+        int64_t n_win = (seq_starts[s + 1] - seq_starts[s]) - span + 1;
+        for (int64_t p = 0; p < n_win; p++) {
+            int64_t code = 0;
+            int32_t self = 0;
+            int valid = 1;
+            for (int32_t o = 0; o < k; o++) {
+                uint8_t c = seq[p + offsets[o]];
+                if (c == x_idx) { valid = 0; break; }
+                code = code * 20 + c;
+                self += self_scores[c];
+            }
+            if (valid && self >= kmer_thr) {
+                rec[cnt].code = (int32_t)code;
+                rec[cnt].seq = (int32_t)s;
+                rec[cnt].pos = (int32_t)p;
+                cnt++;
+            }
         }
     }
 

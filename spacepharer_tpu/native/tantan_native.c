@@ -8,8 +8,10 @@
  *
  * Build: spacepharer_tpu/native/build.py (cc -O2 -shared -fPIC).
  */
+#include <pthread.h>
 #include <stdint.h>
 #include <stdlib.h>
+#include <unistd.h>
 
 #define SCALE_STEP 16
 
@@ -100,17 +102,64 @@ void tantan_probs(const int64_t *seq, int64_t n,
     free(b2f);
 }
 
-/* Batch driver: seqs concatenated with offsets. */
+/* Batch driver: seqs concatenated with offsets. Sequences are
+ * independent recurrences, so the thread split is bit-exact. Worker
+ * threads are joined before returning (no lingering pool), keeping the
+ * process safely forkable afterwards. */
+typedef struct {
+    const int64_t *flat, *offsets;
+    int64_t n_seqs;
+    const double *ratios;
+    int64_t alphabet;
+    int max_offset;
+    double repeat_prob, repeat_end_prob, decay, min_mask_prob;
+    uint8_t *out_mask;
+    int64_t next; /* atomic chunk cursor */
+} tantan_job_t;
+
+#define TANTAN_CHUNK 64
+
+static void *tantan_worker(void *arg) {
+    tantan_job_t *job = (tantan_job_t *)arg;
+    for (;;) {
+        int64_t s0 = __atomic_fetch_add(&job->next, TANTAN_CHUNK,
+                                        __ATOMIC_RELAXED);
+        if (s0 >= job->n_seqs) break;
+        int64_t s1 = s0 + TANTAN_CHUNK;
+        if (s1 > job->n_seqs) s1 = job->n_seqs;
+        for (int64_t s = s0; s < s1; s++) {
+            int64_t start = job->offsets[s];
+            int64_t len = job->offsets[s + 1] - start;
+            tantan_probs(job->flat + start, len, job->ratios, job->alphabet,
+                         job->max_offset, job->repeat_prob,
+                         job->repeat_end_prob, job->decay,
+                         job->min_mask_prob, job->out_mask + start);
+        }
+    }
+    return NULL;
+}
+
 void tantan_mask_batch(const int64_t *flat, const int64_t *offsets,
                        int64_t n_seqs, const double *ratios, int64_t alphabet,
                        int max_offset, double repeat_prob,
                        double repeat_end_prob, double decay,
                        double min_mask_prob, uint8_t *out_mask) {
-    for (int64_t s = 0; s < n_seqs; s++) {
-        int64_t start = offsets[s];
-        int64_t len = offsets[s + 1] - start;
-        tantan_probs(flat + start, len, ratios, alphabet, max_offset,
-                     repeat_prob, repeat_end_prob, decay, min_mask_prob,
-                     out_mask + start);
+    tantan_job_t job = {flat, offsets, n_seqs, ratios, alphabet, max_offset,
+                        repeat_prob, repeat_end_prob, decay, min_mask_prob,
+                        out_mask, 0};
+    long ncpu = sysconf(_SC_NPROCESSORS_ONLN);
+    int nthreads = ncpu > 1 ? (int)ncpu : 1;
+    if (nthreads > 8) nthreads = 8;
+    if (n_seqs < 2 * TANTAN_CHUNK || nthreads == 1) {
+        tantan_worker(&job);
+        return;
     }
+    pthread_t tids[8];
+    int spawned = 0;
+    for (int t = 0; t < nthreads - 1; t++)
+        if (pthread_create(&tids[t], NULL, tantan_worker, &job) == 0)
+            spawned++;
+    tantan_worker(&job);
+    for (int t = 0; t < spawned; t++)
+        pthread_join(tids[t], NULL);
 }

@@ -95,13 +95,73 @@ def _spaced_codes(seq_num: np.ndarray, offsets: np.ndarray, span: int,
     return codes, valid
 
 
-def build_target_index(aa_seqs: list, params: PrefilterParams) -> TargetIndex:
-    """aa_seqs: list of numeric target ORFs (matrix alphabet, unmasked)."""
+def build_target_index(aa_seqs: list, params: PrefilterParams,
+                       packed=None) -> TargetIndex:
+    """aa_seqs: list of numeric target ORFs (matrix alphabet, unmasked).
+
+    packed: optional (flat uint8, offsets int64 [n+1]) holding the same
+    sequences contiguously (e.g. SetDB.orf_aa_encoded()) — skips the
+    per-sequence concatenation on the native path."""
     seed_m = load_matrix(params.seed_matrix, 8.0)
     offsets = params.offsets
     span = params.pattern_span
     kmer_thr = params.kmer_threshold()
     self_scores = np.diag(seed_m.scores).astype(np.int64)
+    if packed is not None:
+        db_residues = int(packed[1][-1])
+        n_seqs = len(packed[1]) - 1
+    else:
+        db_residues = int(sum(len(s) for s in aa_seqs))
+        n_seqs = len(aa_seqs)
+
+    from ..native import get_lib
+    lib = get_lib()
+    if lib is not None and n_seqs:
+        # one flat pass: concatenate unmasked, mask in place, scan
+        # per-sequence windows in C (no separator buffer needed)
+        if packed is not None:
+            starts = np.ascontiguousarray(packed[1], dtype=np.int64)
+            flat64 = packed[0].astype(np.int64)
+        else:
+            starts = np.zeros(n_seqs + 1, dtype=np.int64)
+            np.cumsum([len(s) for s in aa_seqs], out=starts[1:])
+            flat64 = np.concatenate(
+                [np.asarray(s, dtype=np.int64) for s in aa_seqs]) \
+                if db_residues else np.zeros(0, np.int64)
+        if params.mask:
+            from .tantan import (DECAY, MAX_CYCLE, MIN_MASK_PROB,
+                                 REPEAT_END_PROB, REPEAT_PROB)
+            ratios_c = np.ascontiguousarray(
+                likelihood_ratios(seed_m), dtype=np.float64)
+            mask = np.zeros(len(flat64), dtype=np.uint8)
+            lib.tantan_mask_batch(
+                flat64.ctypes.data, starts.ctypes.data, n_seqs,
+                ratios_c.ctypes.data, ratios_c.shape[1],
+                MAX_CYCLE, REPEAT_PROB, REPEAT_END_PROB, DECAY,
+                MIN_MASK_PROB, mask.ctypes.data)
+            flat64[mask.view(bool)] = X_IDX
+        masked_seqs = [flat64[starts[i]:starts[i + 1]]
+                       for i in range(n_seqs)]
+        flat8 = flat64.astype(np.uint8)
+        offs32 = np.ascontiguousarray(offsets, dtype=np.int32)
+        self32 = np.zeros(32, dtype=np.int32)
+        self32[:len(self_scores)] = self_scores
+        cap = max(len(flat8), 1)
+        out_code = np.empty(cap, dtype=np.int32)
+        out_seq = np.empty(cap, dtype=np.int32)
+        out_pos = np.empty(cap, dtype=np.int32)
+        n = lib.build_postings(
+            flat8.ctypes.data, len(flat8),
+            offs32.ctypes.data, len(offs32), span,
+            starts.ctypes.data, n_seqs,
+            self32.ctypes.data, int(kmer_thr), X_IDX,
+            out_code.ctypes.data, out_seq.ctypes.data,
+            out_pos.ctypes.data)
+        codes = out_code[:n].astype(np.int64)
+        post_seq = out_seq[:n].copy()
+        post_pos = out_pos[:n].copy()
+        return _finish_index(aa_seqs, masked_seqs, codes, post_seq,
+                             post_pos, params, db_residues)
 
     if params.mask:
         ratios = likelihood_ratios(seed_m)
@@ -112,11 +172,9 @@ def build_target_index(aa_seqs: list, params: PrefilterParams) -> TargetIndex:
         masked_all = [np.asarray(s, dtype=np.int64) for s in aa_seqs]
 
     masked_seqs = masked_all
-    db_residues = int(sum(len(s) for s in aa_seqs))
 
     # flat pass over all sequences at once: concatenate with X spacers so
     # no k-mer spans two sequences, then recover (seq, pos) per k-mer
-    n_seqs = len(masked_all)
     if n_seqs:
         sep = np.full(span - 1, X_IDX, dtype=np.int64)
         parts = []
@@ -127,29 +185,6 @@ def build_target_index(aa_seqs: list, params: PrefilterParams) -> TargetIndex:
         seq_starts = np.zeros(n_seqs + 1, dtype=np.int64)
         np.cumsum([len(ms) + span - 1 for ms in masked_all],
                   out=seq_starts[1:])
-        from ..native import get_lib
-        lib = get_lib()
-        if lib is not None and len(flat):
-            flat8 = np.ascontiguousarray(flat, dtype=np.uint8)
-            offs32 = np.ascontiguousarray(offsets, dtype=np.int32)
-            self32 = np.zeros(32, dtype=np.int32)
-            self32[:len(self_scores)] = self_scores
-            cap = len(flat8)
-            out_code = np.zeros(cap, dtype=np.int32)
-            out_seq = np.zeros(cap, dtype=np.int32)
-            out_pos = np.zeros(cap, dtype=np.int32)
-            n = lib.build_postings(
-                flat8.ctypes.data, len(flat8),
-                offs32.ctypes.data, len(offs32), span,
-                seq_starts.ctypes.data, n_seqs,
-                self32.ctypes.data, int(kmer_thr), X_IDX,
-                out_code.ctypes.data, out_seq.ctypes.data,
-                out_pos.ctypes.data)
-            codes = out_code[:n].astype(np.int64)
-            post_seq = out_seq[:n].copy()
-            post_pos = out_pos[:n].copy()
-            return _finish_index(aa_seqs, masked_seqs, codes, post_seq,
-                                 post_pos, params, db_residues)
         codes_f, valid_f = _spaced_codes(flat, offsets, span, 20)
         if len(codes_f):
             gpos = np.flatnonzero(valid_f)

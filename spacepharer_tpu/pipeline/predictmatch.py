@@ -57,9 +57,10 @@ def search_setdbs(query_db: SetDB, target_db: SetDB,
     re-alignment merge. Returns {query_orf_key: 11-col text rows}."""
     from ..ops.prefilter import SimilarKmerEnumerator
 
-    t_aa = [encode_aa(target_db.orf_aa(i).tobytes())
-            for i in range(target_db.n_orfs)]
-    index = build_target_index(t_aa, params.prefilter)
+    t_flat, t_off = target_db.orf_aa_encoded()
+    t_aa = [t_flat[t_off[i]:t_off[i + 1]] for i in range(target_db.n_orfs)]
+    index = build_target_index(t_aa, params.prefilter,
+                               packed=(t_flat, t_off))
     m40 = load_matrix(params.align.matrix, 2.0)
     seed_m = load_matrix(params.prefilter.seed_matrix, 8.0)
     enumerator = SimilarKmerEnumerator(seed_m.scores)
@@ -70,8 +71,8 @@ def search_setdbs(query_db: SetDB, target_db: SetDB,
 
     from ..ops.bias import local_aa_bias_batch
 
-    q_all = [encode_aa(query_db.orf_aa(k).tobytes())
-             for k in range(query_db.n_orfs)]
+    q_flat, q_off = query_db.orf_aa_encoded()
+    q_all = [q_flat[q_off[k]:q_off[k + 1]] for k in range(query_db.n_orfs)]
     if params.prefilter.comp_bias_corr:
         bias80_all = local_aa_bias_batch(q_all, seed_m)
     else:
@@ -92,7 +93,11 @@ def search_setdbs(query_db: SetDB, target_db: SetDB,
     if params.use_tpu:
         prot = _search_tpu(query_db, keys, t_aa, index, enumerator, m40,
                            evaluer, params)
-    elif n_threads > 1 and len(keys) > 16:
+    elif (n_threads > 1 and len(keys) > 16
+          and len(keys) * index.db_residues > 2e10):
+        # fork only when the work outweighs the COW page-fault cost of
+        # duplicating the index (native single-thread does ~5e9
+        # query-residue pairs per second on this path)
         # fork workers share the index read-only (copy-on-write), like the
         # reference's OpenMP threads over a shared mmap'd index
         import multiprocessing as mp
