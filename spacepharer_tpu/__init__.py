@@ -19,3 +19,32 @@ Layer map (mirrors SURVEY.md §7):
 """
 
 __version__ = "0.1.0"
+
+
+def _tune_allocator():
+    """Keep freed large blocks inside the process arena.
+
+    NumPy routes big temporaries through malloc; glibc's default policy
+    mmaps and munmaps them, so every pipeline stage re-pays the page
+    fault cost of its buffers. Under a hypervisor (Firecracker/axon)
+    first-touch faults run ~200x slower than warm memory, which made
+    allocation the top cost of the whole host pipeline. Raising
+    M_MMAP_THRESHOLD and disabling trim makes the fault cost a one-time
+    high-water-mark charge. (Same concern the reference addresses by
+    vendoring nedmalloc, lib/mmseqs/lib/nedmalloc.)
+    """
+    import ctypes
+    import sys
+    if not sys.platform.startswith("linux"):
+        return
+    try:
+        libc = ctypes.CDLL("libc.so.6", use_errno=True)
+        M_TRIM_THRESHOLD = -1
+        M_MMAP_THRESHOLD = -3
+        libc.mallopt(M_MMAP_THRESHOLD, 1 << 30)
+        libc.mallopt(M_TRIM_THRESHOLD, -1)
+    except OSError:
+        pass
+
+
+_tune_allocator()

@@ -29,8 +29,8 @@ import numpy as np
 
 from ..alphabet import revcomp_ascii
 from ..ops.orf import ANY_TO_STOP, START_TO_STOP, find_orfs, orf_nucl_sequence
-from ..ops.revcodon import reverse_by_codon
-from ..ops.translate import translate
+from ..ops.revcodon import reverse_by_codon_flat
+from ..ops.translate import translate_batch
 from .fasta import iter_fasta, parse_fasta_header_accession
 from .spacer_formats import SpacerRecord
 
@@ -124,7 +124,9 @@ class SetDB:
             v = getattr(self, name)
             if v is not None:
                 arrays[name] = v
-        np.savez_compressed(os.path.join(path, "arrays.npz"), **arrays)
+        # uncompressed: zlib costs ~4s on a 100x corpus for ~2x space;
+        # the arrays are cold data read back with mmap-friendly np.load
+        np.savez(os.path.join(path, "arrays.npz"), **arrays)
         meta = dict(
             version=FORMAT_VERSION,
             is_control=self.is_control,
@@ -232,41 +234,72 @@ def _assemble(contigs, accs, headers, c2s, set_names, spacer_mode,
     from ..alphabet import revcomp_ascii
 
     orf_contig, orf_from, orf_to, orf_complete = [], [], [], []
-    aa_parts, nucl_parts = [], []
+    buf_parts, gstart_parts, glen_parts = [], [], []
+    buf_off = 0
     for ci, contig in enumerate(contigs):
         orfs = find_orfs(contig, min_length=min_len, max_length=orf_max_length,
                          start_mode=start_mode, table_id=table_id)
-        if len(orfs.strand) == 0:
+        nk = len(orfs.strand)
+        if nk == 0:
             continue
-        # strand sequences computed once per contig (Orf::setSequence)
+        # strand sequences computed once per contig (Orf::setSequence);
+        # ORF nucls are gathered from this buffer in one pass below
         seq = contig.copy()
         seq[seq == ord("U")] = ord("T")
         seq[seq == ord("u")] = ord("t")
-        rc = revcomp_ascii(seq) if (orfs.strand < 0).any() else None
-        for k in range(len(orfs.strand)):
-            f, t = int(orfs.frame_from[k]), int(orfs.frame_to[k])
-            nucl = (seq if orfs.strand[k] > 0 else rc)[f:t + 1]
-            if reverse_fragments:
-                nucl = reverse_by_codon(nucl)
-            aa = translate(nucl, table_id)
-            if len(aa) == 0:
-                continue
-            orf_contig.append(ci)
-            orf_from.append(int(orfs.contig_from[k]))
-            orf_to.append(int(orfs.contig_to[k]))
-            orf_complete.append(
-                int(orfs.incomplete_start[k]) | (int(orfs.incomplete_end[k]) << 1))
-            aa_parts.append(aa)
-            nucl_parts.append(nucl)
+        L = len(seq)
+        buf_parts.append(seq)
+        has_minus = bool((orfs.strand < 0).any())
+        if has_minus:
+            buf_parts.append(revcomp_ascii(seq))
+        gstart_parts.append(buf_off + orfs.frame_from
+                            + np.where(orfs.strand < 0, L, 0))
+        glen_parts.append(orfs.frame_to - orfs.frame_from + 1)
+        buf_off += L * (2 if has_minus else 1)
+        orf_contig.append(np.full(nk, ci, dtype=np.int32))
+        orf_from.append(orfs.contig_from)
+        orf_to.append(orfs.contig_to)
+        orf_complete.append(orfs.incomplete_start.astype(np.uint8)
+                            | (orfs.incomplete_end.astype(np.uint8) << 1))
 
     n_sets = len(set_names)
-    orf_contig = np.asarray(orf_contig, dtype=np.int32)
+    orf_contig = np.concatenate(orf_contig).astype(np.int32) \
+        if orf_contig else np.zeros(0, dtype=np.int32)
+    orf_from = np.concatenate(orf_from) if orf_from else np.zeros(0, np.int64)
+    orf_to = np.concatenate(orf_to) if orf_to else np.zeros(0, np.int64)
+    orf_complete = np.concatenate(orf_complete) \
+        if orf_complete else np.zeros(0, np.uint8)
     c2s = np.asarray(c2s, dtype=np.int32)
     set_size = np.bincount(c2s[orf_contig], minlength=n_sets).astype(np.int32)
 
     contig_data, contig_offsets = _flat(contigs)
-    aa_data, aa_offsets = _flat(aa_parts)
-    nucl_data, nucl_offsets = _flat(nucl_parts)
+    if gstart_parts:
+        gstart = np.ascontiguousarray(np.concatenate(gstart_parts),
+                                      dtype=np.int64)
+        glen = np.ascontiguousarray(np.concatenate(glen_parts),
+                                    dtype=np.int64)
+        big = np.concatenate(buf_parts)
+        nucl_offsets = np.zeros(len(gstart) + 1, dtype=np.int64)
+        np.cumsum(glen, out=nucl_offsets[1:])
+        nucl_data = np.empty(nucl_offsets[-1], dtype=np.uint8)
+        from ..native import get_lib
+        lib = get_lib()
+        if lib is not None:
+            lib.gather_ranges(big.ctypes.data, gstart.ctypes.data,
+                              glen.ctypes.data, len(gstart),
+                              nucl_data.ctypes.data)
+        else:
+            src = np.repeat(gstart - nucl_offsets[:-1], glen) \
+                + np.arange(nucl_offsets[-1], dtype=np.int64)
+            nucl_data = big[src]
+    else:
+        nucl_data = np.zeros(0, dtype=np.uint8)
+        nucl_offsets = np.zeros(1, dtype=np.int64)
+    if reverse_fragments:
+        nucl_data = reverse_by_codon_flat(nucl_data, nucl_offsets)
+    # ORF lengths are whole codons, so the batch translation covers
+    # every ORF exactly (no empty-AA drop case)
+    aa_data, aa_offsets = translate_batch(nucl_data, nucl_offsets, table_id)
     return SetDB(
         contig_data=contig_data, contig_offsets=contig_offsets,
         contig_accession=accs, contig_header=headers,

@@ -62,6 +62,15 @@ def get_lib():
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
         ctypes.c_int32, ctypes.c_int32, ctypes.c_void_p,
     ]
+    lib.gather_ranges.restype = None
+    lib.gather_ranges.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int64, ctypes.c_void_p,
+    ]
+    lib.reverse_codons_ranges.restype = None
+    lib.reverse_codons_ranges.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+    ]
     lib.build_postings.restype = ctypes.c_int64
     lib.build_postings.argtypes = [
         ctypes.c_void_p, ctypes.c_int64,

@@ -103,6 +103,34 @@ void sw_forward_batch(const int32_t *prof, int64_t stride, int32_t lq,
     }
 }
 
+/* Gather byte ranges: out = concat(big[starts[i] : starts[i]+lens[i]]).
+ * (The host VM pays heavily for large NumPy index temporaries; a memcpy
+ * loop touches only the 1-byte payload.) */
+void gather_ranges(const uint8_t *big, const int64_t *starts,
+                   const int64_t *lens, int64_t n, uint8_t *out) {
+    for (int64_t i = 0; i < n; i++) {
+        memcpy(out, big + starts[i], (size_t)lens[i]);
+        out += lens[i];
+    }
+}
+
+/* Codon-order reversal per piece (ReverseSeqByCodon semantics; every
+ * piece length is a multiple of 3). */
+void reverse_codons_ranges(const uint8_t *flat, const int64_t *offsets,
+                           int64_t n, uint8_t *out) {
+    for (int64_t i = 0; i < n; i++) {
+        const uint8_t *src = flat + offsets[i];
+        int64_t len = offsets[i + 1] - offsets[i];
+        uint8_t *dst = out + offsets[i];
+        for (int64_t c = 0; c < len; c += 3) {
+            int64_t s = len - 3 - c;
+            dst[c] = src[s];
+            dst[c + 1] = src[s + 1];
+            dst[c + 2] = src[s + 2];
+        }
+    }
+}
+
 typedef struct {
     int32_t code;
     int32_t seq;

@@ -38,6 +38,21 @@ from ..alphabet import _REVCOMP_LUT  # noqa: E402
 _IS_GAPPY = np.zeros(256, dtype=bool)
 for _b in range(256):
     _IS_GAPPY[_b] = (_b in (ord("N"), ord("n"))) or _REVCOMP_LUT[_b] == ord(".")
+
+# byte -> TCAG class (4 = other); stop/start codons are unambiguous, so
+# membership tests reduce to a 125-entry LUT over base-5 codon classes
+_TCAG_CLASS = np.full(256, 4, dtype=np.uint8)
+for _i, _ch in enumerate("TCAG"):
+    _TCAG_CLASS[ord(_ch)] = _i
+
+
+def _codon_class_lut(codon_strs):
+    lut = np.zeros(125, dtype=bool)
+    for c in codon_strs:
+        i0, i1, i2 = (_TCAG_CLASS[ord(x)] for x in c)
+        if i0 < 4 and i1 < 4 and i2 < 4:
+            lut[i0 * 25 + i1 * 5 + i2] = True
+    return lut
 # reference isGapOrN checks the *uppercased* codon bytes ('N' or complement=='.')
 # but lowercase 'n' maps to 'n' complement which is valid, and uppercasing
 # happens before the check, so lowercase behaves like uppercase.
@@ -57,22 +72,30 @@ class OrfSet:
     length_codons: np.ndarray  # int64
 
 
+_EMPTY_FRAMES = (np.zeros(0, np.int64), np.zeros(0, np.int64),
+                 np.zeros(0, np.int64), np.zeros(0, bool), np.zeros(0, bool),
+                 np.zeros(0, np.int64))
+
+
 def _find_frames_one_strand(seq: np.ndarray, stops_set, starts_set,
                             min_len, max_len, max_gaps, start_mode):
     """Run the 3 forward frames of one strand. seq is uint8 ASCII.
 
-    Returns list of (emit_pos, from, to, inc_start, inc_end, length).
+    Returns arrays (emit_pos, from, to, inc_start, inc_end, length),
+    sorted by emit_pos (stable across frames, like the reference's
+    single position loop).
     """
     L = len(seq)
     upper = seq & np.uint8(0xDF)  # reference uppercases via &~0x20
-    results = []
+    parts = []
     for f in range(3):
         n = (L - f) // 3
         if n <= 0:
             continue
         cod = upper[f:f + 3 * n].reshape(n, 3)
-        c3 = cod[:, 0].astype(np.int64) * 65536 + cod[:, 1].astype(np.int64) * 256 + cod[:, 2]
-        stop = np.isin(c3, stops_set)
+        cls = _TCAG_CLASS[cod]
+        c125 = cls[:, 0] * np.uint8(25) + cls[:, 1] * np.uint8(5) + cls[:, 2]
+        stop = stops_set[c125]
         gappy = _IS_GAPPY[cod].any(axis=1)
         gap_cum = np.concatenate(([0], np.cumsum(gappy)))
 
@@ -87,48 +110,49 @@ def _find_frames_one_strand(seq: np.ndarray, stops_set, starts_set,
             seg_starts = seg_starts[:-1]
             seg_stops = seg_stops[:-1]
             ends_with_stop = ends_with_stop[:-1]
+        nseg = len(seg_starts)
+        if nseg == 0:
+            continue
 
         if start_mode == ANY_TO_STOP:
             frag_starts = seg_starts
-            valid = np.ones(len(seg_starts), dtype=bool)
+            valid = np.ones(nseg, dtype=bool)
             # reference: fragments started after a stop get hasStartCodon=true
-            inc_start = np.zeros(len(seg_starts), dtype=bool)
+            inc_start = np.zeros(nseg, dtype=bool)
             inc_start[seg_starts == 0] = True
         elif start_mode == START_TO_STOP:
-            is_start = np.isin(c3, starts_set)
-            frag_starts = np.zeros(len(seg_starts), dtype=np.int64)
-            valid = np.zeros(len(seg_starts), dtype=bool)
-            inc_start = np.zeros(len(seg_starts), dtype=bool)
-            start_pos = np.flatnonzero(is_start)
-            for si in range(len(seg_starts)):
-                if si == 0:
-                    # initial inside-state fragment: starts at codon 0
-                    frag_starts[si] = 0
-                    valid[si] = True
-                    inc_start[si] = True
-                    continue
-                lo, hi = seg_starts[si], seg_stops[si]
-                j = np.searchsorted(start_pos, lo)
-                if j < len(start_pos) and start_pos[j] < hi:
-                    frag_starts[si] = start_pos[j]
-                    valid[si] = True
+            start_pos = np.flatnonzero(starts_set[c125])
+            inc_start = np.zeros(nseg, dtype=bool)
+            if len(start_pos):
+                # first start codon within [seg_start, seg_stop)
+                j = np.minimum(np.searchsorted(start_pos, seg_starts),
+                               len(start_pos) - 1)
+                first = start_pos[j]
+                valid = (first >= seg_starts) & (first < seg_stops)
+                frag_starts = np.where(valid, first, 0)
+            else:
+                valid = np.zeros(nseg, dtype=bool)
+                frag_starts = np.zeros(nseg, dtype=np.int64)
+            # initial inside-state fragment: starts at codon 0
+            frag_starts[0] = 0
+            valid[0] = True
+            inc_start[0] = True
         elif start_mode == LAST_START_TO_STOP:
-            is_start = np.isin(c3, starts_set)
-            frag_starts = np.zeros(len(seg_starts), dtype=np.int64)
-            valid = np.zeros(len(seg_starts), dtype=bool)
-            inc_start = np.zeros(len(seg_starts), dtype=bool)
-            start_pos = np.flatnonzero(is_start)
-            for si in range(len(seg_starts)):
-                lo = seg_starts[si] if si > 0 else 0
-                hi = seg_stops[si]
-                j = np.searchsorted(start_pos, hi) - 1
-                if j >= 0 and start_pos[j] >= lo:
-                    frag_starts[si] = start_pos[j]
-                    valid[si] = True
-                elif si == 0:
-                    frag_starts[si] = 0
-                    valid[si] = True
-                    inc_start[si] = True
+            start_pos = np.flatnonzero(starts_set[c125])
+            inc_start = np.zeros(nseg, dtype=bool)
+            if len(start_pos):
+                # last start codon within [seg_start, seg_stop)
+                j = np.searchsorted(start_pos, seg_stops) - 1
+                last = start_pos[np.maximum(j, 0)]
+                valid = (j >= 0) & (last >= seg_starts)
+                frag_starts = np.where(valid, last, 0)
+            else:
+                valid = np.zeros(nseg, dtype=bool)
+                frag_starts = np.zeros(nseg, dtype=np.int64)
+            if not valid[0]:
+                frag_starts[0] = 0
+                valid[0] = True
+                inc_start[0] = True
         else:
             raise ValueError(f"bad start_mode {start_mode}")
 
@@ -141,20 +165,22 @@ def _find_frames_one_strand(seq: np.ndarray, stops_set, starts_set,
             & (gaps <= max_gaps)
         )
         # reference skips len==0 stop-only fragments implicitly via countLength
-        for si in np.flatnonzero(keep):
-            c_from = frag_starts[si]
-            if ends_with_stop[si]:
-                p_from = f + 3 * c_from
-                p_stop = f + 3 * seg_stops[si]
-                results.append((p_stop, p_from, p_stop - 1, bool(inc_start[si]), False,
-                                int(lengths[si])))
-            else:
-                p_from = f + 3 * c_from
-                p_last = f + 3 * (seg_stops[si] - 1)
-                results.append((p_last, p_from, p_last + 2, bool(inc_start[si]), True,
-                                int(lengths[si])))
-    results.sort(key=lambda r: r[0])
-    return results
+        ki = np.flatnonzero(keep)
+        if not len(ki):
+            continue
+        ews = ends_with_stop[ki]
+        p_from = f + 3 * frag_starts[ki]
+        p_stop = f + 3 * seg_stops[ki]         # ends-with-stop emit pos
+        p_last = p_stop - 3                    # incomplete-end emit pos
+        emit = np.where(ews, p_stop, p_last)
+        to = np.where(ews, p_stop - 1, p_last + 2)
+        parts.append((emit, p_from, to, inc_start[ki], ~ews, lengths[ki]))
+
+    if not parts:
+        return _EMPTY_FRAMES
+    cols = [np.concatenate([p[c] for p in parts]) for c in range(6)]
+    order = np.argsort(cols[0], kind="stable")
+    return tuple(col[order] for col in cols)
 
 
 def find_orfs(contig_ascii: np.ndarray,
@@ -175,59 +201,47 @@ def find_orfs(contig_ascii: np.ndarray,
     if not use_all_table_starts:
         start_list = ["ATG"]
 
-    def _codes(lst):
-        return np.array(
-            [ord(c[0]) * 65536 + ord(c[1]) * 256 + ord(c[2]) for c in lst],
-            dtype=np.int64,
-        )
-
-    stops_set = _codes(stop_list)
-    starts_set = _codes(start_list)
+    stops_set = _codon_class_lut(stop_list)
+    starts_set = _codon_class_lut(start_list)
 
     L = len(contig_ascii)
-    rows = []
+    per_strand = []
     if L >= 3:
         # reference replaces U/u with T/t before scanning (Orf.cpp:141-144)
         seq = contig_ascii.copy()
         seq[seq == ord("U")] = ord("T")
         seq[seq == ord("u")] = ord("t")
         if forward_frames:
-            for r in _find_frames_one_strand(seq, stops_set, starts_set,
-                                             min_length, max_length, max_gaps,
-                                             start_mode):
-                rows.append(r + (1,))
+            per_strand.append((1, _find_frames_one_strand(
+                seq, stops_set, starts_set, min_length, max_length,
+                max_gaps, start_mode)))
         if reverse_frames:
             rc = revcomp_ascii(seq)
-            for r in _find_frames_one_strand(rc, stops_set, starts_set,
-                                             min_length, max_length, max_gaps,
-                                             start_mode):
-                rows.append(r + (-1,))
+            per_strand.append((-1, _find_frames_one_strand(
+                rc, stops_set, starts_set, min_length, max_length,
+                max_gaps, start_mode)))
 
-    n = len(rows)
-    out = OrfSet(
-        frame_from=np.empty(n, dtype=np.int64),
-        frame_to=np.empty(n, dtype=np.int64),
-        contig_from=np.empty(n, dtype=np.int64),
-        contig_to=np.empty(n, dtype=np.int64),
-        incomplete_start=np.empty(n, dtype=bool),
-        incomplete_end=np.empty(n, dtype=bool),
-        strand=np.empty(n, dtype=np.int8),
-        length_codons=np.empty(n, dtype=np.int64),
+    frm = np.concatenate([r[1] for _, r in per_strand]) \
+        if per_strand else np.zeros(0, np.int64)
+    to = np.concatenate([r[2] for _, r in per_strand]) \
+        if per_strand else np.zeros(0, np.int64)
+    inc_s = np.concatenate([r[3] for _, r in per_strand]) \
+        if per_strand else np.zeros(0, bool)
+    inc_e = np.concatenate([r[4] for _, r in per_strand]) \
+        if per_strand else np.zeros(0, bool)
+    ln = np.concatenate([r[5] for _, r in per_strand]) \
+        if per_strand else np.zeros(0, np.int64)
+    strand = np.concatenate(
+        [np.full(len(r[0]), s, dtype=np.int8) for s, r in per_strand]) \
+        if per_strand else np.zeros(0, np.int8)
+    minus = strand < 0
+    return OrfSet(
+        frame_from=frm, frame_to=to,
+        contig_from=np.where(minus, (L - 1) - frm, frm),
+        contig_to=np.where(minus, (L - 1) - to, to),
+        incomplete_start=inc_s, incomplete_end=inc_e,
+        strand=strand, length_codons=ln,
     )
-    for i, (_, frm, to, inc_s, inc_e, ln, strand) in enumerate(rows):
-        out.frame_from[i] = frm
-        out.frame_to[i] = to
-        out.incomplete_start[i] = inc_s
-        out.incomplete_end[i] = inc_e
-        out.strand[i] = strand
-        out.length_codons[i] = ln
-        if strand > 0:
-            out.contig_from[i] = frm
-            out.contig_to[i] = to
-        else:
-            out.contig_from[i] = (L - 1) - frm
-            out.contig_to[i] = (L - 1) - to
-    return out
 
 
 def orf_nucl_sequence(contig_ascii: np.ndarray, frame_from: int, frame_to: int,

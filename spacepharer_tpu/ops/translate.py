@@ -136,8 +136,14 @@ def translate_batch(flat_nucl: np.ndarray, offsets: np.ndarray, table_id: int = 
     aa_lut, _, _ = codon_tables(table_id)
     codes = encode_iupac4(flat_nucl)
     tri = codes.reshape(-1, 3)
-    aa = aa_lut[tri[:, 0], tri[:, 1], tri[:, 2]]
-    tri_ascii = flat_nucl.reshape(-1, 3)
-    lower = np.any((tri_ascii >= ord("a")) & (tri_ascii <= ord("z")), axis=1)
-    aa = np.where(lower & (aa >= ord("A")) & (aa <= ord("Z")), aa + 32, aa)
-    return aa.astype(np.uint8), offsets // 3
+    idx = tri[:, 0].astype(np.uint16) << np.uint16(8)
+    idx |= tri[:, 1].astype(np.uint16) << np.uint16(4)
+    idx |= tri[:, 2]
+    aa = aa_lut.reshape(-1)[idx]
+    if len(flat_nucl) and int(flat_nucl.max()) >= ord("a"):
+        tri_ascii = flat_nucl.reshape(-1, 3)
+        lower = np.any((tri_ascii >= ord("a")) & (tri_ascii <= ord("z")),
+                       axis=1)
+        aa = np.where(lower & (aa >= ord("A")) & (aa <= ord("Z")),
+                      aa + 32, aa).astype(np.uint8)
+    return aa, offsets // 3
