@@ -48,3 +48,25 @@ def _tune_allocator():
 
 
 _tune_allocator()
+
+
+def _default_jax_cache():
+    """Persistent XLA compilation cache (opt-out via env).
+
+    TPU compiles through the axon relay cost 20-60s per kernel shape
+    and are process-local by default; the persistent cache makes every
+    CLI invocation after the first reuse them (verified: recompile of
+    a cached kernel drops to ~0.25s)."""
+    import os
+    if "JAX_COMPILATION_CACHE_DIR" not in os.environ:
+        d = os.path.join(os.path.expanduser("~"), ".cache",
+                         "spacepharer_tpu", "jax")
+        try:
+            os.makedirs(d, exist_ok=True)
+            os.environ["JAX_COMPILATION_CACHE_DIR"] = d
+        except OSError:
+            return
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+
+_default_jax_cache()
