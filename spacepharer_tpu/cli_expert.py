@@ -251,8 +251,34 @@ def cmd_restrictranks(argv):
     return 0
 
 
+def cmd_combinepvalperset(argv):
+    """combinepvalperset <mergedBestHit.tsv> <querySetDB> <targetSetDB>
+    <out.tsv> — MMseqs2's generic set-P-value aggregator
+    (lib/mmseqs/src/multihit/combinepvalperset.cpp)."""
+    p = argparse.ArgumentParser(prog="spacepharer combinepvalperset")
+    p.add_argument("mergedTSV", help="best-hit rows merged by query set")
+    p.add_argument("querySetDB")
+    p.add_argument("targetSetDB")
+    p.add_argument("output")
+    p.add_argument("--aggregation-mode", type=int, default=0,
+                   choices=(0, 1, 2, 3))
+    p.add_argument("--alpha", type=float, default=1.0)
+    args = p.parse_args(argv)
+    from .stats.aggregation import combine_pval_per_set
+    qdb = SetDB.load(args.querySetDB)
+    tdb = SetDB.load(args.targetSetDB)
+    merged = read_entries(args.mergedTSV)
+    out = {qset: combine_pval_per_set(rows, int(qdb.set_size[qset]),
+                                      tdb.n_sets, tdb.orf_to_set,
+                                      args.alpha, args.aggregation_mode)
+           for qset, rows in merged.items()}
+    write_entries(out, args.output)
+    return 0
+
+
 EXPERT_COMMANDS = {
     "reverseseqbycodon": cmd_reverseseqbycodon,
+    "combinepvalperset": cmd_combinepvalperset,
     "empiricalpval": cmd_empiricalpval,
     "besthitperset": cmd_besthitperset,
     "mergeresultsbyset": cmd_mergeresultsbyset,

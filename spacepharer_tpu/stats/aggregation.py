@@ -96,6 +96,113 @@ def merge_results_by_set(entries: dict, set_to_members: dict) -> dict:
     return out
 
 
+def _precompute_log_b(orf_count: int, pval_threshold: float):
+    """precomputeLogB (combinepvalperset.cpp:17-26), same loop order."""
+    log_thr = math.log(pval_threshold)
+    log_1m_thr = math.log(1 - pval_threshold)
+    # C lgamma(0) = +inf (Python's raises); index 0 is never a binomial
+    # argument but the reference table holds inf there
+    lgam = [math.inf] + [math.lgamma(i) for i in range(1, orf_count + 2)]
+    log_b = [0.0] * orf_count
+    log_b[orf_count - 1] = orf_count * log_thr
+    for i in range(orf_count - 2, -1, -1):
+        k = i + 1
+        log_new = (lgam[orf_count + 1] - lgam[orf_count - k + 1]
+                   - lgam[k + 1]) + k * log_thr + (orf_count - k) * log_1m_thr
+        log_b[i] = log_b[i + 1] + math.log(1 + math.exp(log_new - log_b[i + 1]))
+    return log_b
+
+
+AGGREGATION_MODE_MULTIHIT = 0
+AGGREGATION_MODE_MIN_PVAL = 1
+AGGREGATION_MODE_PRODUCT = 2
+AGGREGATION_MODE_TRUNCATED_PRODUCT = 3
+
+
+def combine_pval_per_set(entry_rows, query_orf_count: int,
+                         n_target_sets: int, target_member_to_set,
+                         alpha: float, mode: int):
+    """MMseqs2's generic set-P-value aggregator
+    (lib/mmseqs/src/multihit/combinepvalperset.cpp:88-223), the design
+    template SpacePHARER's combinescore was derived from. One query
+    set's merged best-hit rows -> [[tset, value], ...] with the modes:
+    0 multihit (truncated Fisher), 1 min-P, 2 product, 3 (modified)
+    truncated product. Values formatted like SSTR (%.3E doubles,
+    integer counts verbatim)."""
+    orf_count = query_orf_count
+    out = []
+    log_b = None
+    for tset, rows in group_by_target_set(entry_rows, target_member_to_set).items():
+        if mode == AGGREGATION_MODE_MULTIHIT:
+            thr = alpha / (orf_count + 1)
+            if thr == 0.0:
+                out.append([str(tset), str(n_target_sets)])
+                continue
+            log_thr = math.log(thr)
+            k = 0
+            r = 0.0
+            for row in rows:
+                log_pval = float(row[1])
+                if log_pval < log_thr:
+                    k += 1
+                    r -= log_pval - log_thr
+            if r == 0:
+                out.append([str(tset), str(n_target_sets)])
+                continue
+            if math.isinf(r):
+                out.append([str(tset), "0"])
+                continue
+            exp_minus_r = math.exp(-r)
+            if thr == 1.0:
+                out.append([str(tset), fmt_e3(exp_minus_r * n_target_sets)])
+                continue
+            if log_b is None:
+                log_b = _precompute_log_b(orf_count, thr)
+            log_r = math.log(r)
+            fisher = 0.0
+            for i in range(orf_count):
+                fisher += math.exp(i * log_r - math.lgamma(i + 1) + log_b[i])
+            pval = exp_minus_r * fisher
+        elif mode == AGGREGATION_MODE_MIN_PVAL:
+            min_log = 0.0
+            for row in rows:
+                lp = float(row[1])
+                if lp < min_log:
+                    min_log = lp
+            pval = 1 - math.exp(-math.exp(min_log) * orf_count)
+        elif mode == AGGREGATION_MODE_PRODUCT:
+            pval = math.exp(sum(float(row[1]) for row in rows))
+        elif mode == AGGREGATION_MODE_TRUNCATED_PRODUCT:
+            log_thr = math.log(alpha / (orf_count + 1))
+            for row in rows:
+                seq_id = float(row[2])
+                q_start, q_end, q_len = int(row[4]), int(row[5]), int(row[6])
+                q_cov = 1.0 * (q_end - q_start + 1) / q_len
+                if seq_id == 1.0 and q_cov == 1.0:
+                    lp = float(row[1])
+                    log_thr = log_thr if lp < log_thr else lp
+            min_log = 0.0
+            sum_log = 0.0
+            k = 0
+            for row in rows:
+                lp = float(row[1])
+                if lp < min_log:
+                    # same -0.0 / sign quirk as combinescore's fallback
+                    min_log = lp if lp == 0 else -lp
+                if lp < log_thr:
+                    sum_log -= lp - log_thr
+                    k += 1
+            if k == 0:
+                out.append([str(tset), fmt_e3(min_log)])
+            else:
+                out.append([str(tset), fmt_e3(sum_log - log_thr)])
+            continue
+        else:
+            raise ValueError(f"invalid aggregation mode {mode}")
+        out.append([str(tset), fmt_e3(pval * n_target_sets)])
+    return out
+
+
 def combine_score(entry_rows, query_set_size_of_entry: int,
                   target_member_to_set):
     """One query set's merged rows -> [[tset, S_comb, avgSeqId], ...].
