@@ -265,12 +265,81 @@ def cmd_downloaddb(argv):
                        bool(args.reverse_setdb))
 
 
+def cmd_multihitdb(argv):
+    """multihitdb <fasta...> <outDB> <tmpDir> — generic multihit SetDB
+    (lib/mmseqs/src/multihit/MultiHitDb.cpp: createsetdb's genome mode,
+    orf-min-length 30)."""
+    p = argparse.ArgumentParser(prog="spacepharer multihitdb")
+    p.add_argument("inputs", nargs="+", help="FASTA files, outDB, tmpDir")
+    p.add_argument("--min-length", type=int, default=30)
+    p.add_argument("--max-length", type=int, default=32734)
+    p.add_argument("--translation-table", type=int, default=1)
+    args = p.parse_args(argv)
+    if len(args.inputs) < 3:
+        p.error("need <fasta...> <outDB> <tmpDir>")
+    *files, out_db, tmp = args.inputs
+    os.makedirs(tmp, exist_ok=True)
+    db = build_setdb_from_fasta(
+        files, orf_min_length=args.min_length,
+        orf_max_length=args.max_length,
+        translation_table=args.translation_table)
+    db.save(out_db)
+    print(f"multihitdb: {db.n_contigs} contigs, {db.n_orfs} ORFs, "
+          f"{db.n_sets} sets -> {out_db}")
+    return 0
+
+
+def cmd_multihitsearch(argv):
+    """multihitsearch <querySetDB> <targetSetDB> <out.tsv> <tmpDir> —
+    search + besthitperset + mergeresultsbyset
+    (lib/mmseqs/src/multihit/MultiHitSearch.cpp defaults: s=5.7, e=100,
+    max-seqs 1500, simple best hit). Chain the combinepvalperset expert
+    command for the combined set P-values."""
+    p = argparse.ArgumentParser(prog="spacepharer multihitsearch")
+    p.add_argument("querySetDB")
+    p.add_argument("targetSetDB")
+    p.add_argument("output")
+    p.add_argument("tmpDir")
+    p.add_argument("-e", "--evalue", type=float, default=100.0)
+    p.add_argument("-s", "--sensitivity", type=float, default=5.7)
+    p.add_argument("--max-seqs", type=int, default=1500)
+    p.add_argument("--threads", type=int, default=0)
+    p.add_argument("--simple-best-hit", type=int, default=1, choices=(0, 1))
+    args = p.parse_args(argv)
+    from .io.entries_tsv import write_entries
+    from .pipeline.predictmatch import PredictParams, search_setdbs
+    from .stats.aggregation import best_hit_per_set, merge_results_by_set
+    qdb = SetDB.load(args.querySetDB)
+    tdb = SetDB.load(args.targetSetDB)
+    os.makedirs(args.tmpDir, exist_ok=True)
+    pp = PredictParams(threads=args.threads, perform_nucl_aln=False)
+    pp.prefilter.sensitivity = args.sensitivity
+    pp.prefilter.max_seqs = args.max_seqs
+    pp.align.evalue = args.evalue
+    result = search_setdbs(qdb, tdb, pp)
+    aggregate = {k: best_hit_per_set(rows, tdb.orf_to_set, tdb.set_size,
+                                     bool(args.simple_best_hit))
+                 for k, rows in result.items()}
+    set_to_members = {}
+    for okey in range(qdb.n_orfs):
+        set_to_members.setdefault(int(qdb.orf_to_set[okey]), []).append(okey)
+    merged = merge_results_by_set(aggregate,
+                                  dict(sorted(set_to_members.items())))
+    write_entries(merged, args.output)
+    n = sum(len(v) for v in merged.values())
+    print(f"multihitsearch: {n} aggregated hits over "
+          f"{len(merged)} query sets -> {args.output}")
+    return 0
+
+
 COMMANDS = {
     "easy-predict": cmd_easy_predict,
     "createsetdb": cmd_createsetdb,
     "predictmatch": cmd_predictmatch,
     "parsespacer": cmd_parsespacer,
     "downloaddb": cmd_downloaddb,
+    "multihitdb": cmd_multihitdb,
+    "multihitsearch": cmd_multihitsearch,
 }
 
 # expert modules (src/spacepharer.cpp:61-135); registered lazily so the

@@ -62,3 +62,25 @@ def test_cli_unknown_command():
     r = run_cli(["bogus"], "/tmp")
     assert r.returncode == 1
     assert "Unknown command" in r.stderr
+
+
+def test_cli_multihit_chain(workdir, examples_dir):
+    genomes = sorted(
+        os.path.join(examples_dir, f) for f in os.listdir(examples_dir)
+        if f.startswith("GCA_"))[:2]
+    r = run_cli(["multihitdb"] + genomes + ["mhdb", "mhtmp"], workdir)
+    assert r.returncode == 0, r.stderr
+    r = run_cli(["multihitsearch", "mhdb", "mhdb", "mh.tsv", "mhtmp2",
+                 "--threads", "1"], workdir)
+    assert r.returncode == 0, r.stderr
+    r = run_cli(["combinepvalperset", "mh.tsv", "mhdb", "mhdb",
+                 "mhpval.tsv", "--aggregation-mode", "0"], workdir)
+    assert r.returncode == 0, r.stderr
+    rows = [line.split("\t") for line in
+            open(os.path.join(workdir, "mhpval.tsv"))]
+    # self-search: each set's own-set combined P-value is the strongest
+    own = {r[0]: r for r in rows if r[0] == r[1]}
+    assert len(own) == 2
+    for qset, row in own.items():
+        assert float(row[2]) <= min(float(r[2]) for r in rows
+                                    if r[0] == qset)
