@@ -3,12 +3,21 @@ import tarfile
 
 # Force a virtual 8-device CPU mesh for all tests (TPU-independent CI) —
 # must happen before jax import anywhere.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
         xla_flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import sys  # noqa: E402
+
+if "jax" in sys.modules:
+    # an environment sitecustomize (e.g. the axon TPU relay shim)
+    # pre-imported jax with its own platform pin; the backend is still
+    # uninitialized at collection time, so a config update redirects it
+    import jax
+    jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 
