@@ -78,14 +78,36 @@ def run_tpu_bench(qs, ts, repeats=3):
     return true_cells / dt, true_cells, dt
 
 
+def _golden_dbs():
+    """Unpack the golden reference run (tests/golden_run.tar.gz) and
+    return (querySetDB, targetSetDB) paths, or None."""
+    import tarfile
+    root = "/tmp/spacepharer_bench_golden"
+    run = os.path.join(root, "run")
+    if not os.path.isdir(run):
+        tar = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "tests", "golden_run.tar.gz")
+        if not os.path.exists(tar):
+            return None
+        os.makedirs(root, exist_ok=True)
+        with tarfile.open(tar) as tf:
+            tf.extractall(root)
+    golden_t = os.path.join(run, "targets")
+    for d in os.listdir(os.path.join(run, "tmp")):
+        q = os.path.join(run, "tmp", d, "qsetdb")
+        if d != "latest" and os.path.exists(q + ".dbtype"):
+            return q, golden_t
+    return None
+
+
 def measure_reference(qs, ts):
     """Time the reference align module on the same all-pairs workload."""
     if not os.path.exists(REF_BINARY):
         return None
-    golden_q = "/root/golden/run/tmp/12871751141153654061/qsetdb"
-    golden_t = "/root/golden/run/targets"
-    if not os.path.exists(golden_q + ".dbtype"):
+    dbs = _golden_dbs()
+    if dbs is None:
         return None
+    golden_q, golden_t = dbs
     n_t = len(open(golden_t + ".index").readlines())
     n_q = len(open(golden_q + ".index").readlines())
     rows = "".join(f"{k}\t255\t0\n" for k in range(n_t))

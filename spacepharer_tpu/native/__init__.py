@@ -71,6 +71,14 @@ def get_lib():
     lib.reverse_codons_ranges.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
     ]
+    lib.find_orfs_strand.restype = ctypes.c_int64
+    lib.find_orfs_strand.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+    ]
     lib.build_postings.restype = ctypes.c_int64
     lib.build_postings.argtypes = [
         ctypes.c_void_p, ctypes.c_int64,

@@ -131,6 +131,135 @@ void reverse_codons_ranges(const uint8_t *flat, const int64_t *offsets,
     }
 }
 
+/* Six-frame ORF scan over one strand (3 forward frames), replicating
+ * ops.orf._find_frames_one_strand segment semantics exactly:
+ * segments between stop codons (stop excluded), start-codon selection
+ * per start_mode (0 START_TO_STOP first-start, 1 ANY_TO_STOP,
+ * 2 LAST_START_TO_STOP), first fragment per frame starts inside,
+ * trailing fragment flagged incomplete-end, length/gap filters.
+ * Output is merged across frames by emit position (stable in frame
+ * order), the order the reference's single position loop produces.
+ * Returns the ORF count; caller provides arrays of capacity L. */
+typedef struct {
+    int64_t emit, from, to, len;
+    uint8_t inc_s, inc_e;
+} orf_rec_t;
+
+int64_t find_orfs_strand(const uint8_t *seq, int64_t L,
+                         const uint8_t *cls_tab /*256: TCAG class, 4=other*/,
+                         const uint8_t *stop_lut /*125*/,
+                         const uint8_t *start_lut /*125*/,
+                         const uint8_t *gappy_tab /*256*/,
+                         int64_t min_len, int64_t max_len, int64_t max_gaps,
+                         int32_t start_mode,
+                         int64_t *out_emit, int64_t *out_from,
+                         int64_t *out_to, uint8_t *out_incs,
+                         uint8_t *out_ince, int64_t *out_len) {
+    if (min_len < 1) min_len = 1;
+    orf_rec_t *fr[3];
+    int64_t fn[3] = {0, 0, 0};
+    int64_t cap = L / 3 + 4;
+    for (int f = 0; f < 3; f++)
+        fr[f] = (orf_rec_t *)malloc(sizeof(orf_rec_t) * cap);
+    int64_t *gap_cum = (int64_t *)malloc(sizeof(int64_t) * (L / 3 + 2));
+
+    for (int f = 0; f < 3; f++) {
+        int64_t n = (L - f) / 3;
+        if (n <= 0) continue;
+        orf_rec_t *recs = fr[f];
+        int64_t cnt = 0;
+        /* per-codon classes + gap prefix */
+        gap_cum[0] = 0;
+        int64_t seg_start = 0;      /* codon idx of current segment start */
+        int first_seg = 1;
+        int64_t first_start = -1, last_start = -1;
+        for (int64_t c = 0; c <= n; c++) {
+            int is_stop = 0;
+            if (c < n) {
+                const uint8_t *p = seq + f + 3 * c;
+                uint8_t b0 = p[0] & 0xDF, b1 = p[1] & 0xDF, b2 = p[2] & 0xDF;
+                int cls125 = cls_tab[b0] * 25 + cls_tab[b1] * 5 + cls_tab[b2];
+                gap_cum[c + 1] = gap_cum[c]
+                    + (gappy_tab[b0] | gappy_tab[b1] | gappy_tab[b2] ? 1 : 0);
+                is_stop = stop_lut[cls125];
+                if (!is_stop && start_lut[cls125]) {
+                    if (first_start < 0) first_start = c;
+                    last_start = c;
+                }
+                if (!is_stop) continue;
+            } else {
+                /* trailing segment; empty when last codon was a stop */
+                if (seg_start >= n) break;
+            }
+            int64_t seg_stop = (c < n) ? c : n;   /* exclusive of stop */
+            int ends_with_stop = (c < n);
+            /* select fragment start per mode */
+            int64_t frag = -1;
+            uint8_t inc_s = 0;
+            if (start_mode == 1) {              /* ANY_TO_STOP */
+                frag = seg_start;
+                inc_s = first_seg ? 1 : 0;
+            } else if (start_mode == 0) {       /* START_TO_STOP */
+                if (first_seg) { frag = 0; inc_s = 1; }
+                else if (first_start >= 0) frag = first_start;
+            } else {                            /* LAST_START_TO_STOP */
+                if (last_start >= 0) frag = last_start;
+                else if (first_seg) { frag = 0; inc_s = 1; }
+            }
+            if (frag >= 0) {
+                int64_t len = seg_stop - frag;
+                int64_t gaps = gap_cum[seg_stop] - gap_cum[frag];
+                if (len >= min_len && len <= max_len && gaps <= max_gaps) {
+                    orf_rec_t *r = &recs[cnt++];
+                    r->len = len;
+                    r->from = f + 3 * frag;
+                    r->inc_s = inc_s;
+                    if (ends_with_stop) {
+                        r->emit = f + 3 * seg_stop;
+                        r->to = r->emit - 1;
+                        r->inc_e = 0;
+                    } else {
+                        r->emit = f + 3 * (seg_stop - 1);
+                        r->to = r->emit + 2;
+                        r->inc_e = 1;
+                    }
+                }
+            }
+            seg_start = seg_stop + 1;
+            first_seg = 0;
+            first_start = -1;
+            last_start = -1;
+        }
+        fn[f] = cnt;
+    }
+
+    /* stable 3-way merge by emit (frame order breaks ties) */
+    int64_t idx[3] = {0, 0, 0};
+    int64_t out_n = 0;
+    for (;;) {
+        int best = -1;
+        int64_t best_emit = 0;
+        for (int f = 0; f < 3; f++) {
+            if (idx[f] < fn[f]) {
+                int64_t e = fr[f][idx[f]].emit;
+                if (best < 0 || e < best_emit) { best = f; best_emit = e; }
+            }
+        }
+        if (best < 0) break;
+        orf_rec_t *r = &fr[best][idx[best]++];
+        out_emit[out_n] = r->emit;
+        out_from[out_n] = r->from;
+        out_to[out_n] = r->to;
+        out_incs[out_n] = r->inc_s;
+        out_ince[out_n] = r->inc_e;
+        out_len[out_n] = r->len;
+        out_n++;
+    }
+    for (int f = 0; f < 3; f++) free(fr[f]);
+    free(gap_cum);
+    return out_n;
+}
+
 typedef struct {
     int32_t code;
     int32_t seq;

@@ -76,6 +76,35 @@ _EMPTY_FRAMES = (np.zeros(0, np.int64), np.zeros(0, np.int64),
                  np.zeros(0, np.int64), np.zeros(0, bool), np.zeros(0, bool),
                  np.zeros(0, np.int64))
 
+_IS_GAPPY_U8 = _IS_GAPPY.astype(np.uint8)
+
+
+def _find_frames_native(lib, seq, stops_set, starts_set, min_len, max_len,
+                        max_gaps, start_mode):
+    """C scan (native.sw_native.find_orfs_strand); same tuple contract
+    as _find_frames_one_strand."""
+    L = len(seq)
+    cap = max(L, 1)
+    emit = np.empty(cap, dtype=np.int64)
+    frm = np.empty(cap, dtype=np.int64)
+    to = np.empty(cap, dtype=np.int64)
+    inc_s = np.empty(cap, dtype=np.uint8)
+    inc_e = np.empty(cap, dtype=np.uint8)
+    ln = np.empty(cap, dtype=np.int64)
+    seq_c = np.ascontiguousarray(seq, dtype=np.uint8)
+    stops_u8 = stops_set.astype(np.uint8)
+    starts_u8 = starts_set.astype(np.uint8)
+    n = lib.find_orfs_strand(
+        seq_c.ctypes.data, L,
+        _TCAG_CLASS.ctypes.data, stops_u8.ctypes.data,
+        starts_u8.ctypes.data, _IS_GAPPY_U8.ctypes.data,
+        min(min_len, 1 << 62), min(max_len, 1 << 62),
+        min(max_gaps, 1 << 62), start_mode,
+        emit.ctypes.data, frm.ctypes.data, to.ctypes.data,
+        inc_s.ctypes.data, inc_e.ctypes.data, ln.ctypes.data)
+    return (emit[:n].copy(), frm[:n].copy(), to[:n].copy(),
+            inc_s[:n].astype(bool), inc_e[:n].astype(bool), ln[:n].copy())
+
 
 def _find_frames_one_strand(seq: np.ndarray, stops_set, starts_set,
                             min_len, max_len, max_gaps, start_mode):
@@ -207,19 +236,27 @@ def find_orfs(contig_ascii: np.ndarray,
     L = len(contig_ascii)
     per_strand = []
     if L >= 3:
+        from ..native import get_lib
+        lib = get_lib()
+        if lib is not None and start_mode in (START_TO_STOP, ANY_TO_STOP,
+                                              LAST_START_TO_STOP):
+            def scan(s):
+                return _find_frames_native(lib, s, stops_set, starts_set,
+                                           min_length, max_length, max_gaps,
+                                           start_mode)
+        else:
+            def scan(s):
+                return _find_frames_one_strand(s, stops_set, starts_set,
+                                               min_length, max_length,
+                                               max_gaps, start_mode)
         # reference replaces U/u with T/t before scanning (Orf.cpp:141-144)
         seq = contig_ascii.copy()
         seq[seq == ord("U")] = ord("T")
         seq[seq == ord("u")] = ord("t")
         if forward_frames:
-            per_strand.append((1, _find_frames_one_strand(
-                seq, stops_set, starts_set, min_length, max_length,
-                max_gaps, start_mode)))
+            per_strand.append((1, scan(seq)))
         if reverse_frames:
-            rc = revcomp_ascii(seq)
-            per_strand.append((-1, _find_frames_one_strand(
-                rc, stops_set, starts_set, min_length, max_length,
-                max_gaps, start_mode)))
+            per_strand.append((-1, scan(revcomp_ascii(seq))))
 
     frm = np.concatenate([r[1] for _, r in per_strand]) \
         if per_strand else np.zeros(0, np.int64)

@@ -87,3 +87,28 @@ def test_build_postings_native_vs_numpy(monkeypatch):
     for f in ["codes", "post_seq", "post_pos", "uniq_codes", "uniq_start",
               "uniq_letters"]:
         assert np.array_equal(getattr(idx_native, f), getattr(idx_numpy, f)), f
+
+
+def test_find_orfs_native_vs_numpy(monkeypatch):
+    import spacepharer_tpu.ops.orf as orf_mod
+    rng = np.random.default_rng(5)
+    alphabet = np.frombuffer(b"ACGTacgtNnUuRYKM", dtype=np.uint8)
+    for mode in (orf_mod.START_TO_STOP, orf_mod.ANY_TO_STOP,
+                 orf_mod.LAST_START_TO_STOP):
+        for trial in range(20):
+            L = int(rng.integers(1, 4000))
+            seq = alphabet[rng.integers(0, len(alphabet), L)]
+            kw = dict(min_length=int(rng.integers(1, 12)),
+                      max_length=int(rng.integers(50, 500)),
+                      max_gaps=int(rng.integers(0, 5)),
+                      start_mode=mode)
+            a = orf_mod.find_orfs(seq, **kw)
+            import spacepharer_tpu.native as nat
+            monkeypatch.setattr(nat, "get_lib", lambda: None)
+            b = orf_mod.find_orfs(seq, **kw)
+            monkeypatch.undo()
+            for f in ("frame_from", "frame_to", "contig_from", "contig_to",
+                      "incomplete_start", "incomplete_end", "strand",
+                      "length_codons"):
+                assert np.array_equal(getattr(a, f), getattr(b, f)), \
+                    (mode, trial, f)
