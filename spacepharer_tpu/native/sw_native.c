@@ -11,9 +11,11 @@
  * lib/mmseqs/src/prefiltering/IndexTable.h:25-38 re-expressed as
  * radix-sorted (code, seq, first-pos) triples).
  */
+#include <pthread.h>
 #include <stdint.h>
 #include <stdlib.h>
 #include <string.h>
+#include <unistd.h>
 
 #define NEG_F (-(int64_t)1 << 40)
 
@@ -275,6 +277,47 @@ typedef struct {
  * radix-sorted by code, so equal-code runs stay seq-ordered and the
  * first record per (code, seq) carries the minimal position —
  * identical to the NumPy construction. */
+typedef struct {
+    const uint8_t *flat;
+    const int32_t *offsets;
+    int32_t k, span, kmer_thr, x_idx;
+    const int64_t *seq_starts;
+    const int32_t *self_scores;
+    int64_t seq_lo, seq_hi;   /* sequence range for this worker */
+    posting_t *out;           /* segment base */
+    int64_t cnt;              /* records produced */
+} scan_job_t;
+
+static void *postings_scan_worker(void *arg) {
+    scan_job_t *j = (scan_job_t *)arg;
+    const int32_t k = j->k, span = j->span;
+    posting_t *rec = j->out;
+    int64_t cnt = 0;
+    for (int64_t s = j->seq_lo; s < j->seq_hi; s++) {
+        const uint8_t *seq = j->flat + j->seq_starts[s];
+        int64_t n_win = (j->seq_starts[s + 1] - j->seq_starts[s]) - span + 1;
+        for (int64_t p = 0; p < n_win; p++) {
+            int64_t code = 0;
+            int32_t self = 0;
+            int valid = 1;
+            for (int32_t o = 0; o < k; o++) {
+                uint8_t c = seq[p + j->offsets[o]];
+                if (c == j->x_idx) { valid = 0; break; }
+                code = code * 20 + c;
+                self += j->self_scores[c];
+            }
+            if (valid && self >= j->kmer_thr) {
+                rec[cnt].code = (int32_t)code;
+                rec[cnt].seq = (int32_t)s;
+                rec[cnt].pos = (int32_t)p;
+                cnt++;
+            }
+        }
+    }
+    j->cnt = cnt;
+    return NULL;
+}
+
 int64_t build_postings(const uint8_t *flat, int64_t n_flat,
                        const int32_t *offsets, int32_t k, int32_t span,
                        const int64_t *seq_starts, int64_t n_seqs,
@@ -284,79 +327,92 @@ int64_t build_postings(const uint8_t *flat, int64_t n_flat,
                        int32_t *out_pos) {
     if (n_flat < span || n_seqs <= 0) return 0;
 
-    /* count pass -> exact allocation (avoids a worst-case buffer) */
-    int64_t cnt = 0;
-    for (int64_t s = 0; s < n_seqs; s++) {
-        const uint8_t *seq = flat + seq_starts[s];
-        int64_t n_win = (seq_starts[s + 1] - seq_starts[s]) - span + 1;
-        for (int64_t p = 0; p < n_win; p++) {
-            int64_t code = 0;
-            int32_t self = 0;
-            int valid = 1;
-            for (int32_t o = 0; o < k; o++) {
-                uint8_t c = seq[p + offsets[o]];
-                if (c == x_idx) { valid = 0; break; }
-                code = code * 20 + c;
-                self += self_scores[c];
-            }
-            if (valid && self >= kmer_thr) cnt++;
+    /* scan in parallel: worker w writes into its own segment of the
+     * worst-case buffer (segment base = first window of its range), so
+     * records stay in seq-major order segment by segment */
+    long ncpu = sysconf(_SC_NPROCESSORS_ONLN);
+    int nw = ncpu > 1 ? (ncpu > 4 ? 4 : (int)ncpu) : 1;
+    if (n_seqs < nw) nw = 1;
+    posting_t *rec = (posting_t *)malloc(sizeof(posting_t) * n_flat);
+    scan_job_t jobs[4];
+    int64_t seg_base[4];
+    {
+        /* split sequences by residue mass */
+        int64_t total = seq_starts[n_seqs];
+        int64_t lo = 0;
+        for (int w = 0; w < nw; w++) {
+            int64_t target = total * (w + 1) / nw;
+            int64_t hi = lo;
+            while (hi < n_seqs && seq_starts[hi] < target) hi++;
+            if (w == nw - 1) hi = n_seqs;
+            jobs[w] = (scan_job_t){flat, offsets, k, span, kmer_thr, x_idx,
+                                   seq_starts, self_scores, lo, hi, NULL, 0};
+            /* worst case for range = residues in range */
+            seg_base[w] = seq_starts[lo];
+            jobs[w].out = rec + seg_base[w];
+            lo = hi;
         }
     }
-    if (cnt == 0) return 0;
-    posting_t *rec = (posting_t *)malloc(sizeof(posting_t) * cnt);
-    cnt = 0;
-    for (int64_t s = 0; s < n_seqs; s++) {
-        const uint8_t *seq = flat + seq_starts[s];
-        int64_t n_win = (seq_starts[s + 1] - seq_starts[s]) - span + 1;
-        for (int64_t p = 0; p < n_win; p++) {
-            int64_t code = 0;
-            int32_t self = 0;
-            int valid = 1;
-            for (int32_t o = 0; o < k; o++) {
-                uint8_t c = seq[p + offsets[o]];
-                if (c == x_idx) { valid = 0; break; }
-                code = code * 20 + c;
-                self += self_scores[c];
-            }
-            if (valid && self >= kmer_thr) {
-                rec[cnt].code = (int32_t)code;
-                rec[cnt].seq = (int32_t)s;
-                rec[cnt].pos = (int32_t)p;
-                cnt++;
-            }
-        }
-    }
+    pthread_t tids[4];
+    int spawned = 0;
+    for (int w = 1; w < nw; w++)
+        if (pthread_create(&tids[w - 1], NULL, postings_scan_worker,
+                           &jobs[w]) == 0)
+            spawned++;
+    postings_scan_worker(&jobs[0]);
+    for (int t = 0; t < spawned; t++)
+        pthread_join(tids[t], NULL);
 
-    /* stable LSD radix sort by code: 2 passes x 16 bits */
+    int64_t cnt = 0;
+    for (int w = 0; w < nw; w++) cnt += jobs[w].cnt;
+    if (cnt == 0) { free(rec); return 0; }
+
+    /* stable LSD radix sort by code: 2 passes x 16 bits; the first
+     * pass reads the per-worker segments in order (seq-major) */
     posting_t *aux = (posting_t *)malloc(sizeof(posting_t) * cnt);
     static const int32_t RAD = 1 << 16, MASK = (1 << 16) - 1;
     int64_t *count = (int64_t *)malloc(sizeof(int64_t) * RAD);
-    posting_t *src = rec, *dst = aux;
-    for (int shift = 0; shift <= 16; shift += 16) {
-        memset(count, 0, sizeof(int64_t) * RAD);
-        for (int64_t i = 0; i < cnt; i++)
-            count[(src[i].code >> shift) & MASK]++;
-        int64_t sum = 0;
-        for (int32_t v = 0; v < RAD; v++) {
-            int64_t c = count[v];
-            count[v] = sum;
-            sum += c;
-        }
-        for (int64_t i = 0; i < cnt; i++)
-            dst[count[(src[i].code >> shift) & MASK]++] = src[i];
-        posting_t *tmp = src; src = dst; dst = tmp;
+
+    memset(count, 0, sizeof(int64_t) * RAD);
+    for (int w = 0; w < nw; w++) {
+        posting_t *seg = rec + seg_base[w];
+        for (int64_t i = 0; i < jobs[w].cnt; i++)
+            count[seg[i].code & MASK]++;
     }
+    int64_t sum = 0;
+    for (int32_t v = 0; v < RAD; v++) {
+        int64_t c = count[v];
+        count[v] = sum;
+        sum += c;
+    }
+    for (int w = 0; w < nw; w++) {
+        posting_t *seg = rec + seg_base[w];
+        for (int64_t i = 0; i < jobs[w].cnt; i++)
+            aux[count[seg[i].code & MASK]++] = seg[i];
+    }
+
+    memset(count, 0, sizeof(int64_t) * RAD);
+    for (int64_t i = 0; i < cnt; i++)
+        count[(aux[i].code >> 16) & MASK]++;
+    sum = 0;
+    for (int32_t v = 0; v < RAD; v++) {
+        int64_t c = count[v];
+        count[v] = sum;
+        sum += c;
+    }
+    for (int64_t i = 0; i < cnt; i++)
+        rec[count[(aux[i].code >> 16) & MASK]++] = aux[i];
     free(count);
 
     /* dedup consecutive (code, seq), keep first (minimal pos) */
     int64_t out_n = 0;
     for (int64_t i = 0; i < cnt; i++) {
-        if (i > 0 && src[i].code == src[i - 1].code
-                  && src[i].seq == src[i - 1].seq)
+        if (i > 0 && rec[i].code == rec[i - 1].code
+                  && rec[i].seq == rec[i - 1].seq)
             continue;
-        out_code[out_n] = src[i].code;
-        out_seq[out_n] = src[i].seq;
-        out_pos[out_n] = src[i].pos;
+        out_code[out_n] = rec[i].code;
+        out_seq[out_n] = rec[i].seq;
+        out_pos[out_n] = rec[i].pos;
         out_n++;
     }
     free(rec);
