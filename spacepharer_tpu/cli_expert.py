@@ -276,9 +276,103 @@ def cmd_combinepvalperset(argv):
     return 0
 
 
+def cmd_prefilter(argv):
+    """prefilter <querySetDB> <targetSetDB> <out.tsv> — k-mer prefilter
+    rows [target, score, diagonal] per query ORF
+    (lib/mmseqs/src/prefiltering, byte-parity engine)."""
+    p = argparse.ArgumentParser(prog="spacepharer prefilter")
+    p.add_argument("querySetDB")
+    p.add_argument("targetSetDB")
+    p.add_argument("output")
+    p.add_argument("-s", "--sensitivity", type=float, default=5.7)
+    p.add_argument("-k", "--kmer-size", type=int, default=6)
+    p.add_argument("--spaced-kmer-pattern", type=str, default="11011101")
+    p.add_argument("--max-seqs", type=int, default=1500)
+    p.add_argument("--mask", type=int, default=1, choices=(0, 1))
+    p.add_argument("--comp-bias-corr", type=int, default=1, choices=(0, 1))
+    args = p.parse_args(argv)
+    import numpy as np
+    from .ops.bias import local_aa_bias_batch
+    from .ops.matrices import load_matrix
+    from .ops.prefilter import (PrefilterParams, SimilarKmerEnumerator,
+                                build_target_index, prefilter_query)
+    qdb = SetDB.load(args.querySetDB)
+    tdb = SetDB.load(args.targetSetDB)
+    pp = PrefilterParams(
+        kmer_size=args.kmer_size, spaced_pattern=args.spaced_kmer_pattern,
+        sensitivity=args.sensitivity, max_seqs=args.max_seqs,
+        mask=bool(args.mask), comp_bias_corr=bool(args.comp_bias_corr))
+    t_flat, t_off = tdb.orf_aa_encoded()
+    t_aa = [t_flat[t_off[i]:t_off[i + 1]] for i in range(tdb.n_orfs)]
+    index = build_target_index(t_aa, pp, packed=(t_flat, t_off))
+    seed_m = load_matrix(pp.seed_matrix, 8.0)
+    enumerator = SimilarKmerEnumerator(seed_m.scores)
+    q_flat, q_off = qdb.orf_aa_encoded()
+    q_all = [q_flat[q_off[k]:q_off[k + 1]] for k in range(qdb.n_orfs)]
+    if pp.comp_bias_corr:
+        biases = local_aa_bias_batch(q_all, seed_m)
+    else:
+        biases = [np.zeros(len(q)) for q in q_all]
+    out = {}
+    for qk, q in enumerate(q_all):
+        hits = prefilter_query(q, index, pp, enumerator=enumerator,
+                               bias80=biases[qk])
+        out[qk] = [[str(h.target), str(h.score), str(h.diagonal)]
+                   for h in hits]
+    write_entries(out, args.output)
+    n = sum(len(v) for v in out.values())
+    print(f"prefilter: {n} hits over {len(out)} queries -> {args.output}")
+    return 0
+
+
+def cmd_rescorediagonal(argv):
+    """rescorediagonal <pref.tsv> <querySetDB> <targetSetDB> <out.tsv> —
+    ungapped rescoring along the prefilter diagonal
+    (lib/mmseqs/src/alignment/rescorediagonal.cpp; modes 0 hamming,
+    1 substitution, 2 local alignment, 3 global alignment)."""
+    p = argparse.ArgumentParser(prog="spacepharer rescorediagonal")
+    p.add_argument("prefTSV", help="prefilter rows keyed by query ORF")
+    p.add_argument("querySetDB")
+    p.add_argument("targetSetDB")
+    p.add_argument("output")
+    p.add_argument("--rescore-mode", type=int, default=0,
+                   choices=(0, 1, 2, 3))
+    p.add_argument("-e", "--evalue", type=float, default=0.001)
+    p.add_argument("--min-seq-id", type=float, default=0.0)
+    p.add_argument("-c", "--cov", type=float, default=0.0)
+    p.add_argument("--min-aln-len", type=int, default=0)
+    p.add_argument("--seq-id-mode", type=int, default=0, choices=(0, 1, 2))
+    p.add_argument("-a", "--add-backtrace", action="store_true")
+    p.add_argument("--sub-mat", type=str, default="VTML40.out")
+    args = p.parse_args(argv)
+    import numpy as np
+    from .ops.matrices import load_matrix
+    from .ops.rescore import ascii_submat, rescore_rows
+    qdb = SetDB.load(args.querySetDB)
+    tdb = SetDB.load(args.targetSetDB)
+    m = load_matrix(args.sub_mat, 2.0)
+    amat = ascii_submat(m)
+    db_res = int(tdb.orf_aa_offsets[-1])
+    pref = read_entries(args.prefTSV)
+    out = {}
+    for qk, rows in pref.items():
+        out[qk] = rescore_rows(
+            rows, qdb.orf_aa(qk), tdb.orf_aa, args.sub_mat, m, db_res,
+            rescore_mode=args.rescore_mode, e_thr=args.evalue,
+            seq_id_thr=args.min_seq_id, cov_thr=args.cov,
+            aln_len_thr=args.min_aln_len, seq_id_mode=args.seq_id_mode,
+            add_backtrace=args.add_backtrace, amat=amat)
+    write_entries(out, args.output)
+    n = sum(len(v) for v in out.values())
+    print(f"rescorediagonal: {n} rows -> {args.output}")
+    return 0
+
+
 EXPERT_COMMANDS = {
     "reverseseqbycodon": cmd_reverseseqbycodon,
     "combinepvalperset": cmd_combinepvalperset,
+    "prefilter": cmd_prefilter,
+    "rescorediagonal": cmd_rescorediagonal,
     "empiricalpval": cmd_empiricalpval,
     "besthitperset": cmd_besthitperset,
     "mergeresultsbyset": cmd_mergeresultsbyset,

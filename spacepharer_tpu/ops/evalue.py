@@ -93,6 +93,23 @@ _PARAMS = {
         0.71225621255786731, 2.9058945364387716,
         0.71225621255786731, 2.9058945364387716,
         0.7125673897037631, 2.8984262849372726),
+    # ungapped (EvalueComputation's 2-arg ctor -> initGapless); dumped
+    # via the same reference probe, alphabetSize-1 like the init path
+    ("VTML40.out", 0, 0, False): GumbelParams(
+        0.34501946071143919, 0.27143668329848825,
+        0.22091777476591459, 0.0, 0.22091777476591459, 0.0,
+        0.23238969199957502, 0.0, 0.23238969199957502, 0.0,
+        0.23238969199957502, 0.0),
+    ("VTML80.out", 0, 0, False): GumbelParams(
+        0.33820012415520739, 0.21600420042596544,
+        0.36723267731422604, 0.0, 0.36723267731422604, 0.0,
+        0.84944710802789092, 0.0, 0.84944710802789092, 0.0,
+        0.84944710802789092, 0.0),
+    ("nucleotide.out", 0, 0, False): GumbelParams(
+        0.6337315526448688, 0.40796623464181453,
+        0.69454686319701298, 0.0, 0.69454686319701298, 0.0,
+        0.83333515157614946, 0.0, 0.83333515157614946, 0.0,
+        0.83333515157614946, 0.0),
     ("nucleotide.out", 16, 2, True): GumbelParams(
         0.63422669921142538, 0.43322216977722455,
         0.67208347310921768, 0.80868204316063075,
