@@ -71,6 +71,11 @@ def get_lib():
     lib.reverse_codons_ranges.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
     ]
+    lib.translate_flat.restype = None
+    lib.translate_flat.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+    ]
     lib.find_orfs_strand.restype = ctypes.c_int64
     lib.find_orfs_strand.argtypes = [
         ctypes.c_void_p, ctypes.c_int64,

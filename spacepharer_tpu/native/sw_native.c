@@ -133,6 +133,28 @@ void reverse_codons_ranges(const uint8_t *flat, const int64_t *offsets,
     }
 }
 
+/* Batched codon translation: flat in-frame ASCII nucleotides -> ASCII
+ * amino acids via the 4096-entry IUPAC-code LUT, with TranslateNucl's
+ * lowercase propagation (any lowercase base -> lowercase residue).
+ * Mirrors ops.translate.translate_batch. */
+void translate_flat(const uint8_t *nucl, int64_t n_nucl,
+                    const uint8_t *iupac_lut /*256*/,
+                    const uint8_t *aa_lut /*4096*/,
+                    uint8_t *out_aa) {
+    int64_t n_cod = n_nucl / 3;
+    for (int64_t c = 0; c < n_cod; c++) {
+        const uint8_t *p = nucl + 3 * c;
+        uint8_t aa = aa_lut[(iupac_lut[p[0]] << 8)
+                            | (iupac_lut[p[1]] << 4) | iupac_lut[p[2]]];
+        int lower = (p[0] >= 'a' && p[0] <= 'z')
+                 || (p[1] >= 'a' && p[1] <= 'z')
+                 || (p[2] >= 'a' && p[2] <= 'z');
+        if (lower && aa >= 'A' && aa <= 'Z')
+            aa += 32;
+        out_aa[c] = aa;
+    }
+}
+
 /* Six-frame ORF scan over one strand (3 forward frames), replicating
  * ops.orf._find_frames_one_strand segment semantics exactly:
  * segments between stop codons (stop excluded), start-codon selection

@@ -134,6 +134,17 @@ def translate_batch(flat_nucl: np.ndarray, offsets: np.ndarray, table_id: int = 
     Returns (flat_aa, aa_offsets).
     """
     aa_lut, _, _ = codon_tables(table_id)
+    from ..native import get_lib
+    lib = get_lib()
+    if lib is not None:
+        from ..alphabet import _IUPAC_LUT
+        flat_c = np.ascontiguousarray(flat_nucl, dtype=np.uint8)
+        lut4096 = np.ascontiguousarray(aa_lut.reshape(-1), dtype=np.uint8)
+        out = np.empty(len(flat_c) // 3, dtype=np.uint8)
+        lib.translate_flat(flat_c.ctypes.data, len(flat_c),
+                           _IUPAC_LUT.ctypes.data, lut4096.ctypes.data,
+                           out.ctypes.data)
+        return out, offsets // 3
     codes = encode_iupac4(flat_nucl)
     tri = codes.reshape(-1, 3)
     idx = tri[:, 0].astype(np.uint16) << np.uint16(8)

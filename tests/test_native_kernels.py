@@ -112,3 +112,18 @@ def test_find_orfs_native_vs_numpy(monkeypatch):
                       "length_codons"):
                 assert np.array_equal(getattr(a, f), getattr(b, f)), \
                     (mode, trial, f)
+
+
+def test_translate_batch_native_vs_numpy(monkeypatch):
+    from spacepharer_tpu.ops import translate as tr
+    rng = np.random.default_rng(9)
+    alphabet = np.frombuffer(b"ACGTacgtNnRYKMWSBDHV", dtype=np.uint8)
+    lens = [3 * int(rng.integers(1, 80)) for _ in range(200)]
+    flat = alphabet[rng.integers(0, len(alphabet), sum(lens))]
+    offs = np.zeros(len(lens) + 1, dtype=np.int64)
+    np.cumsum(lens, out=offs[1:])
+    a, ao = tr.translate_batch(flat, offs)
+    import spacepharer_tpu.native as nat
+    monkeypatch.setattr(nat, "get_lib", lambda: None)
+    b, bo = tr.translate_batch(flat, offs)
+    assert np.array_equal(a, b) and np.array_equal(ao, bo)
