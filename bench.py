@@ -48,12 +48,25 @@ def build_workload():
     return qs, ts
 
 
-def run_tpu_bench(qs, ts, repeats=3):
+def run_tpu_bench(qs, ts, n_lo=2, n_hi=12):
+    """Sustained device throughput of the all-pairs SW scan.
+
+    Timing through the axon relay is treacherous: block_until_ready can
+    return before execution and repeat executions of identical inputs
+    are served from a cache, which once inflated this benchmark ~100x.
+    The airtight protocol used here chains n data-dependent kernel
+    invocations inside one jitted fori_loop (each iteration's target
+    matrix is rolled by the loop index, so nothing folds or caches),
+    fetches the scalar result to force completion, and reports the
+    (n_hi - n_lo) subtraction — pure device compute, launch overhead
+    cancelled."""
     import jax
+    import jax.numpy as jnp
 
     from spacepharer_tpu.ops.matrices import load_matrix
-    from spacepharer_tpu.parallel.sharding import (
-        make_mesh, pack_queries, pack_targets, sharded_search_step)
+    from spacepharer_tpu.parallel.sharding import (pack_queries,
+                                                   pack_targets,
+                                                   sw_score_allpairs)
 
     m = load_matrix("VTML40.out", 2.0)
     LQ = 24
@@ -61,18 +74,23 @@ def run_tpu_bench(qs, ts, repeats=3):
     ts_clip = [t[:LT] for t in ts]
     q_prof, q_len = pack_queries(qs, m.scores, LQ)
     t_seqs, t_len = pack_targets(ts_clip, LT, x_index=20)
+    args = [jax.device_put(x) for x in (q_prof, q_len, t_seqs, t_len)]
 
-    mesh = make_mesh(1, len(jax.devices()))
-    step = sharded_search_step(mesh, top_k=16)
-    # warmup/compile
-    scores, idx = step(q_prof, q_len, t_seqs, t_len)
-    scores.block_until_ready()
+    @jax.jit
+    def chain(qp, ql, tseq, tlen, n):
+        def body(i, acc):
+            s = sw_score_allpairs(qp, ql, jnp.roll(tseq, i, axis=0),
+                                  tlen, 16, 2)
+            return acc + s.sum()
+        return jax.lax.fori_loop(0, n, body, jnp.int32(0))
 
-    t0 = time.perf_counter()
-    for _ in range(repeats):
-        scores, idx = step(q_prof, q_len, t_seqs, t_len)
-    scores.block_until_ready()
-    dt = (time.perf_counter() - t0) / repeats
+    np.asarray(chain(*args, 1))  # compile + warm
+    t = {}
+    for n in (n_lo, n_hi):
+        t0 = time.perf_counter()
+        np.asarray(chain(*args, n))
+        t[n] = time.perf_counter() - t0
+    dt = (t[n_hi] - t[n_lo]) / (n_hi - n_lo)
 
     true_cells = int(np.outer(q_len.astype(np.int64), t_len).sum())
     return true_cells / dt, true_cells, dt

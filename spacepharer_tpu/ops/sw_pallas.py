@@ -9,12 +9,17 @@ identity (see ops/sw_tpu.py) with a log2(LQ) shift-max cummax.
 Grid: (n_target_tiles,) — each program scans its target tile over all
 LT columns. Semantics are cell-exact with ops.align._forward_pass.
 
-Status: validated on hardware (correctness) and kept as the explicit-
-VMEM building block; the XLA lax.scan formulation in
-parallel.sharding.sw_score_allpairs currently pipelines better on v5e
-(~185G cells/s) and remains the production path. Extending this kernel
-with a query-batch grid dimension and double-buffered HBM target
-streaming is the planned route past the XLA ceiling.
+Status: both the one-query kernel and the query-batched grid variant
+(sw_scores_pallas_batch) are hardware-validated for correctness. On
+v5e the XLA lax.scan formulation in
+parallel.sharding.sw_score_allpairs remains the fastest (honest
+chained-execution measurement: ~5.0 G true cells/s on the example
+workload vs ~2.7 G/s for the best Pallas tiling; int16 state gave no
+further gain) and stays the production path. NOTE on measurement: the
+axon relay serves repeat executions of identical inputs from a cache
+and block_until_ready can return early, which can inflate naive
+benchmark loops ~100x — time TPU kernels only via data-dependent
+chains with a final fetch (see bench.py).
 """
 from functools import partial
 
@@ -114,6 +119,98 @@ def sw_scores_one_query_pallas(q_prof, q_len, t_seqs, t_len,
         interpret=interpret,
     )(q_prof, q_len, t_seqs, t_len)
     return out[0]
+
+
+def _sw_kernel_batch(q_prof_ref, q_len_ref, t_seqs_ref, t_len_ref, out_ref,
+                     *, q_tile, lq, lt, t_tile, a_pad, gap_open, gap_extend):
+    """Query-batched variant: state [q_tile, LQ, T_TILE] in VMEM, one
+    batched one-hot matmul per column."""
+    prof_f = q_prof_ref[:].astype(jnp.float32)      # [QT, LQ, A_pad]
+    t_len = t_len_ref[0, :]                         # [T_TILE]
+    q_len = q_len_ref[:, 0, 0]                      # [QT]
+
+    jpos = jax.lax.broadcasted_iota(jnp.int32, (q_tile, lq, 1), 1)
+    q_mask = jpos < q_len[:, None, None]
+    ge = jnp.int32(gap_extend)
+    go = jnp.int32(gap_open)
+    ge_j1 = ge * (jpos + 1)
+    ge_j = ge * jpos
+
+    def col_step(i, carry):
+        H, E, best = carry          # [QT, LQ, TT] x2, [QT, TT]
+        col = t_seqs_ref[pl.ds(i, 1), :][0, :]      # [T_TILE]
+        onehot = (jax.lax.broadcasted_iota(jnp.int32, (a_pad, t_tile), 0)
+                  == col[None, :]).astype(jnp.float32)
+        sub_col = jax.lax.dot_general(
+            prof_f, onehot, (((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(jnp.int32)
+        h_diag = jnp.concatenate(
+            [jnp.zeros((q_tile, 1, t_tile), jnp.int32), H[:, :-1, :]],
+            axis=1)
+        h_pre = jnp.maximum(jnp.maximum(h_diag + sub_col, E), 0)
+        h_pre = jnp.where(q_mask, h_pre, 0)
+        E2 = jnp.maximum(jnp.maximum(h_pre - go, E - ge), 0)
+        g = h_pre - go + ge_j1
+        shift = 1
+        while shift < lq:
+            shifted = jnp.concatenate(
+                [jnp.full((q_tile, shift, t_tile), NEG, jnp.int32),
+                 g[:, :-shift, :]], axis=1)
+            g = jnp.maximum(g, shifted)
+            shift *= 2
+        F = jnp.concatenate(
+            [jnp.full((q_tile, 1, t_tile), NEG, jnp.int32), g[:, :-1, :]],
+            axis=1) - ge_j
+        h = jnp.where(q_mask, jnp.maximum(h_pre, F), 0)
+        valid = (i < t_len)[None, None, :]
+        best = jnp.where(valid[:, 0, :],
+                         jnp.maximum(best, h.max(axis=1)), best)
+        H = jnp.where(valid, h, H)
+        E = jnp.where(valid, E2, E)
+        return H, E, best
+
+    H0 = jnp.zeros((q_tile, lq, t_tile), jnp.int32)
+    E0 = jnp.zeros((q_tile, lq, t_tile), jnp.int32)
+    best0 = jnp.zeros((q_tile, t_tile), jnp.int32)
+    _, _, best = jax.lax.fori_loop(0, lt, col_step, (H0, E0, best0))
+    out_ref[:] = best
+
+
+@partial(jax.jit, static_argnames=("gap_open", "gap_extend", "q_tile",
+                                   "t_tile", "interpret"))
+def sw_scores_pallas_batch(q_prof, q_len, t_seqs, t_len,
+                           gap_open: int = 16, gap_extend: int = 2,
+                           q_tile: int = 8, t_tile: int = 256,
+                           interpret: bool = False):
+    """All-pairs scores [Q, T] with a (query-tile, target-tile) grid.
+
+    q_prof: int32 [Q, LQ, A_pad] (Q multiple of q_tile);
+    q_len: int32 [Q, 1, 1]; t_seqs: int32 [LT, T] (T multiple of t_tile);
+    t_len: int32 [1, T].
+    """
+    Q, lq, a_pad = q_prof.shape
+    lt, T = t_seqs.shape
+    grid = (Q // q_tile, T // t_tile)
+    return pl.pallas_call(
+        partial(_sw_kernel_batch, q_tile=q_tile, lq=lq, lt=lt,
+                t_tile=t_tile, a_pad=a_pad, gap_open=gap_open,
+                gap_extend=gap_extend),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((q_tile, lq, a_pad), lambda qi, ti: (qi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((q_tile, 1, 1), lambda qi, ti: (qi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((lt, t_tile), lambda qi, ti: (0, ti),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t_tile), lambda qi, ti: (0, ti),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((q_tile, t_tile), lambda qi, ti: (qi, ti),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Q, T), jnp.int32),
+        interpret=interpret,
+    )(q_prof, q_len, t_seqs, t_len)
 
 
 def pack_for_pallas(q_num, matrix_scores, targets, lq_pad=32, a_pad=32,
