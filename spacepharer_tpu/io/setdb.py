@@ -124,9 +124,13 @@ class SetDB:
             v = getattr(self, name)
             if v is not None:
                 arrays[name] = v
-        # uncompressed: zlib costs ~4s on a 100x corpus for ~2x space;
-        # the arrays are cold data read back with mmap-friendly np.load
-        np.savez(os.path.join(path, "arrays.npz"), **arrays)
+        # raw .npy per array: both zlib (~4s/100x corpus) and the npz
+        # zipfile's CRC pass (~3s/500x) cost more than the disk space;
+        # mmap-friendly on load
+        adir = os.path.join(path, "arrays")
+        os.makedirs(adir, exist_ok=True)
+        for name, arr in arrays.items():
+            np.save(os.path.join(adir, name + ".npy"), arr)
         meta = dict(
             version=FORMAT_VERSION,
             is_control=self.is_control,
@@ -145,8 +149,14 @@ class SetDB:
             meta = json.load(fh)
         if meta.get("version") != FORMAT_VERSION:
             raise ValueError(f"unsupported SetDB version in {path}")
-        z = np.load(os.path.join(path, "arrays.npz"))
-        kw = {k: z[k] for k in z.files}
+        adir = os.path.join(path, "arrays")
+        if os.path.isdir(adir):
+            # read-only mmaps: loads are lazy, search touches what it uses
+            kw = {f[:-4]: np.load(os.path.join(adir, f), mmap_mode="r")
+                  for f in os.listdir(adir) if f.endswith(".npy")}
+        else:  # npz layout from earlier revisions
+            z = np.load(os.path.join(path, "arrays.npz"))
+            kw = {k: z[k] for k in z.files}
         return cls(
             set_names=meta["set_names"],
             contig_accession=meta["contig_accession"],
