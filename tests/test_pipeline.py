@@ -101,3 +101,12 @@ def test_regression_lca_invariants(tax_dbs):
     for line in res.lca_per_target_tsv.rstrip("\n").split("\n"):
         f = line.split("\t")
         assert expect[f[0]] == int(f[1])
+
+
+def test_predictmatch_use_tpu_output_identical(dbs, golden):
+    """The accelerator bulk-scoring path (--use-tpu) must reproduce the
+    host path byte for byte (here on the CPU jax backend)."""
+    qdb, tdb, cdb = dbs
+    res = predict_match(qdb, tdb, cdb, PredictParams(use_tpu=True))
+    with open(os.path.join(golden, "result.tsv")) as fh:
+        assert res.text == fh.read()
