@@ -215,6 +215,9 @@ def parse_spacers(filenames: Iterable[str]) -> tuple[list[SpacerRecord], list[st
         if fmt != "EMPTY":
             any_parsed = True
         records.extend(recs)
-    if not any_parsed or not records:
+    # reference parity: hasResult is set once any non-empty file's type
+    # is detected (ParseSpacer.cpp:186-190) — a parseable file with zero
+    # surviving spacers is NOT an error
+    if not any_parsed:
         raise ValueError("No spacer sequence was extracted!")
     return records, sources

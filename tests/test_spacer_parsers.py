@@ -67,3 +67,21 @@ def test_collect_input_files(tmp_path):
     assert collect_input_files([str(tsv)]) == [f"{tmp_path}/a.txt"]
     with pytest.raises(ValueError):
         collect_input_files([str(tmp_path), "other"])
+
+
+def test_parseable_file_with_zero_spacers_is_not_an_error(tmp_path):
+    """Reference parity: hasResult is set once a non-empty file's type is
+    detected (ParseSpacer.cpp:186-190); zero surviving spacers from a
+    parseable file is not an error."""
+    import pytest
+    from spacepharer_tpu.io.spacer_formats import parse_spacers
+    # a PILER-CR header without any spacer rows
+    p = tmp_path / "pilercr_empty"
+    p.write_text("pilercr v1.06\nRun as: pilercr -in x\n\n\nDETAIL REPORT\n")
+    recs, sources = parse_spacers([str(p)])
+    assert recs == [] and sources == ["pilercr_empty"]
+    # a truly empty file alone still errors
+    e = tmp_path / "empty"
+    e.write_text("")
+    with pytest.raises(ValueError):
+        parse_spacers([str(e)])
