@@ -81,8 +81,11 @@ def parse_spacer_file(path: str, file_idx: int) -> tuple[list[SpacerRecord], str
     array_num = 0
     spacer_num = 0
     accession = ""
-    array_entry = -10
-    header_entry = -10
+    # 0-inits mirror ParseSpacer.cpp:166-167 — with a missing '>' header
+    # line the reference still fires its entry-offset conditions (and
+    # emits spacers with an empty accession); keep that behavior
+    array_entry = 0
+    header_entry = 0
     is_reverse = False
 
     def emit(seq: str, start: int, end: int):
