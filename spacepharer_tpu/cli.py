@@ -175,8 +175,6 @@ def cmd_parsespacer(argv):
     *inputs, out_db = args.inputs
     files = collect_input_files(inputs, args.file_include, args.file_exclude)
     records, sources = parse_spacers(files)
-    import json
-    import numpy as np
     os.makedirs(os.path.dirname(out_db) or ".", exist_ok=True)
     with open(out_db + ".spacers.tsv", "w") as fh:
         for i, r in enumerate(records):

@@ -32,7 +32,7 @@ from ..ops.orf import ANY_TO_STOP, START_TO_STOP, find_orfs, orf_nucl_sequence
 from ..ops.revcodon import reverse_by_codon_flat
 from ..ops.translate import translate_batch
 from .fasta import iter_fasta, parse_fasta_header_accession
-from .spacer_formats import SpacerRecord
+
 
 FORMAT_VERSION = 1
 

@@ -16,9 +16,7 @@ Parity targets:
     segment with &~0x20 uppercasing, coverage via SmithWaterman::
     computeCov, acceptance by alnLen/cov/seqId/evalue.
 """
-import math
 from dataclasses import dataclass
-from functools import lru_cache
 from typing import Optional
 
 import numpy as np
@@ -55,7 +53,6 @@ def ascii_submat(matrix: ScoringMatrix) -> np.ndarray:
 
 
 def _local_max(scores: np.ndarray) -> int:
-    run = np.maximum.accumulate  # noqa: F841  (kept simple below)
     best = 0
     s = 0
     for v in scores:

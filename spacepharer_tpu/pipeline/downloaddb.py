@@ -7,7 +7,6 @@ Network access is environment-dependent; the download step degrades
 with a clear error when offline.
 """
 import os
-import subprocess
 import sys
 import tarfile
 import urllib.request
