@@ -330,6 +330,35 @@ def cmd_multihitsearch(argv):
     return 0
 
 
+def cmd_createindex(argv):
+    """createindex <setDB> <tmpDir> — persist the prefilter k-mer index
+    inside the SetDB, keyed by the prefilter parameters (the MMseqs
+    createindex analog). Searches then mmap it instead of rebuilding."""
+    p = argparse.ArgumentParser(prog="spacepharer createindex")
+    p.add_argument("setDB")
+    p.add_argument("tmpDir")
+    p.add_argument("-s", "--sensitivity", type=float, default=5.7)
+    p.add_argument("-k", "--kmer-size", type=int, default=6)
+    p.add_argument("--spaced-kmer-pattern", type=str, default="11011101")
+    p.add_argument("--mask", type=int, default=1, choices=(0, 1))
+    args = p.parse_args(argv)
+    from .ops.prefilter import (PrefilterParams, build_target_index,
+                                save_target_index)
+    db = SetDB.load(args.setDB)
+    os.makedirs(args.tmpDir, exist_ok=True)
+    pp = PrefilterParams(
+        kmer_size=args.kmer_size, spaced_pattern=args.spaced_kmer_pattern,
+        sensitivity=args.sensitivity, mask=bool(args.mask))
+    t_flat, t_off = db.orf_aa_encoded()
+    t_aa = [t_flat[t_off[i]:t_off[i + 1]] for i in range(db.n_orfs)]
+    t0 = time.time()
+    index = build_target_index(t_aa, pp, packed=(t_flat, t_off))
+    d = save_target_index(index, args.setDB, pp)
+    print(f"createindex: {len(index.codes)} postings in "
+          f"{time.time() - t0:.1f}s -> {d}")
+    return 0
+
+
 COMMANDS = {
     "easy-predict": cmd_easy_predict,
     "createsetdb": cmd_createsetdb,
@@ -338,6 +367,7 @@ COMMANDS = {
     "downloaddb": cmd_downloaddb,
     "multihitdb": cmd_multihitdb,
     "multihitsearch": cmd_multihitsearch,
+    "createindex": cmd_createindex,
 }
 
 # expert modules (src/spacepharer.cpp:61-135); registered lazily so the

@@ -63,6 +63,9 @@ class SetDB:
     orf_taxid: Optional[np.ndarray] = None      # int64 [n_orfs]
     contig_taxid: Optional[np.ndarray] = None   # int64 [n_contigs]
     taxdump_path: Optional[str] = None
+    # on-disk location when loaded from / saved to a directory; hosts
+    # the optional persisted prefilter index (createindex)
+    path: Optional[str] = None
 
     @property
     def n_contigs(self):
@@ -164,6 +167,7 @@ class SetDB:
             is_control=meta["is_control"],
             spacer_mode=meta["spacer_mode"],
             taxdump_path=meta.get("taxdump_path"),
+            path=path,
             **kw,
         )
 

@@ -223,6 +223,65 @@ def build_target_index(aa_seqs: list, params: PrefilterParams,
                          params, db_residues)
 
 
+def index_cache_key(params: PrefilterParams) -> str:
+    """Content key of everything the index depends on."""
+    import hashlib
+    s = (f"{params.kmer_size}|{params.spaced_pattern}|"
+         f"{params.kmer_threshold()}|{int(params.mask)}|"
+         f"{params.seed_matrix}|v1")
+    return hashlib.sha256(s.encode()).hexdigest()[:16]
+
+
+def save_target_index(index: TargetIndex, setdb_path: str,
+                      params: PrefilterParams) -> str:
+    """Persist a TargetIndex inside a SetDB directory (the MMseqs
+    `createindex` analog: a precomputed .idx keyed by the prefilter
+    parameters)."""
+    import json as _json
+    d = os.path.join(setdb_path, f"index_{index_cache_key(params)}")
+    os.makedirs(d, exist_ok=True)
+    starts = np.zeros(len(index.seqs_masked) + 1, dtype=np.int64)
+    np.cumsum([len(s) for s in index.seqs_masked], out=starts[1:])
+    flat_masked = (np.concatenate(index.seqs_masked).astype(np.uint8)
+                   if len(starts) > 1 and starts[-1]
+                   else np.zeros(0, np.uint8))
+    np.save(os.path.join(d, "flat_masked.npy"), flat_masked)
+    np.save(os.path.join(d, "starts.npy"), starts)
+    for name in ("codes", "post_seq", "post_pos", "uniq_codes",
+                 "uniq_start", "uniq_letters", "seq_lengths"):
+        np.save(os.path.join(d, name + ".npy"), getattr(index, name))
+    with open(os.path.join(d, "meta.json"), "w") as fh:
+        _json.dump({"db_residues": index.db_residues}, fh)
+    return d
+
+
+def load_target_index(setdb_path: str,
+                      params: PrefilterParams) -> Optional[TargetIndex]:
+    """Load a persisted index if one matches the prefilter parameters.
+    Arrays are mmapped read-only; only the touched postings page in."""
+    import json as _json
+    d = os.path.join(setdb_path, f"index_{index_cache_key(params)}")
+    if not os.path.exists(os.path.join(d, "meta.json")):
+        return None
+    with open(os.path.join(d, "meta.json")) as fh:
+        meta = _json.load(fh)
+    arr = {name: np.load(os.path.join(d, name + ".npy"), mmap_mode="r")
+           for name in ("flat_masked", "starts", "codes", "post_seq",
+                        "post_pos", "uniq_codes", "uniq_start",
+                        "uniq_letters", "seq_lengths")}
+    starts = arr["starts"]
+    flat = arr["flat_masked"]
+    seqs_masked = [flat[starts[i]:starts[i + 1]]
+                   for i in range(len(starts) - 1)]
+    return TargetIndex(
+        seqs_masked=seqs_masked, seq_lengths=arr["seq_lengths"],
+        codes=arr["codes"], post_seq=arr["post_seq"],
+        post_pos=arr["post_pos"], uniq_codes=arr["uniq_codes"],
+        uniq_start=arr["uniq_start"], uniq_letters=arr["uniq_letters"],
+        db_residues=int(meta["db_residues"]),
+    )
+
+
 def _finish_index(aa_seqs, masked_seqs, codes, post_seq, post_pos,
                   params, db_residues) -> TargetIndex:
     """Postings (already in final (code, seq) order) -> TargetIndex."""

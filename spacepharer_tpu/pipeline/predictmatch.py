@@ -22,6 +22,7 @@ from ..report.nuclaln import combine_prot_nucl, protein_aln_to_nucl
 from ..report.offsets import offset_alignments, truncate_best_hits
 from ..report.pam import find_pam
 from ..report.summarize import summarize_results
+from ..logging import log
 from ..stats.aggregation import best_hit_per_set, combine_score, merge_results_by_set
 from ..stats.fdr import filter_match_by_fdr
 
@@ -59,8 +60,15 @@ def search_setdbs(query_db: SetDB, target_db: SetDB,
 
     t_flat, t_off = target_db.orf_aa_encoded()
     t_aa = [t_flat[t_off[i]:t_off[i + 1]] for i in range(target_db.n_orfs)]
-    index = build_target_index(t_aa, params.prefilter,
-                               packed=(t_flat, t_off))
+    index = None
+    if target_db.path:
+        from ..ops.prefilter import load_target_index
+        index = load_target_index(target_db.path, params.prefilter)
+        if index is not None:
+            log(2, f"using persisted index in {target_db.path}")
+    if index is None:
+        index = build_target_index(t_aa, params.prefilter,
+                                   packed=(t_flat, t_off))
     m40 = load_matrix(params.align.matrix, 2.0)
     seed_m = load_matrix(params.prefilter.seed_matrix, 8.0)
     enumerator = SimilarKmerEnumerator(seed_m.scores)

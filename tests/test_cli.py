@@ -84,3 +84,18 @@ def test_cli_multihit_chain(workdir, examples_dir):
     for qset, row in own.items():
         assert float(row[2]) <= min(float(r[2]) for r in rows
                                     if r[0] == qset)
+
+
+def test_cli_createindex_speeds_search(workdir, examples_dir):
+    r = run_cli(["createindex", "targets", "tmpidx"], workdir)
+    assert r.returncode == 0, r.stderr
+    assert "postings" in r.stdout
+    # easy-predict must produce identical output with the persisted index
+    spacers = sorted(os.path.join(examples_dir, f)
+                     for f in os.listdir(examples_dir) if f.endswith(".fas"))
+    r = run_cli(["easy-predict"] + spacers
+                + ["targets", "out_idx.tsv", "tmp_idx"], workdir)
+    assert r.returncode == 0, r.stderr
+    a = open(os.path.join(workdir, "out_idx.tsv")).read()
+    b = open(os.path.join(workdir, "out.tsv")).read()
+    assert a == b
