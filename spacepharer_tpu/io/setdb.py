@@ -247,29 +247,45 @@ def _assemble(contigs, accs, headers, c2s, set_names, spacer_mode,
 
     from ..alphabet import revcomp_ascii
 
-    orf_contig, orf_from, orf_to, orf_complete = [], [], [], []
-    buf_parts, gstart_parts, glen_parts = [], [], []
-    buf_off = 0
-    for ci, contig in enumerate(contigs):
-        orfs = find_orfs(contig, min_length=min_len, max_length=orf_max_length,
+    def _scan_contig(contig):
+        orfs = find_orfs(contig, min_length=min_len,
+                         max_length=orf_max_length,
                          start_mode=start_mode, table_id=table_id)
-        nk = len(orfs.strand)
-        if nk == 0:
-            continue
+        if len(orfs.strand) == 0:
+            return None
         # strand sequences computed once per contig (Orf::setSequence);
         # ORF nucls are gathered from this buffer in one pass below
         seq = contig.copy()
         seq[seq == ord("U")] = ord("T")
         seq[seq == ord("u")] = ord("t")
+        rc = revcomp_ascii(seq) if bool((orfs.strand < 0).any()) else None
+        return orfs, seq, rc
+
+    # the per-contig scan is dominated by the C ORF kernel (GIL
+    # released during the ctypes call), so threads genuinely overlap
+    if len(contigs) > 8 and (os.cpu_count() or 1) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=min(4, os.cpu_count())) as ex:
+            scanned = list(ex.map(_scan_contig, contigs, chunksize=16))
+    else:
+        scanned = [_scan_contig(c) for c in contigs]
+
+    orf_contig, orf_from, orf_to, orf_complete = [], [], [], []
+    buf_parts, gstart_parts, glen_parts = [], [], []
+    buf_off = 0
+    for ci, scan in enumerate(scanned):
+        if scan is None:
+            continue
+        orfs, seq, rc = scan
+        nk = len(orfs.strand)
         L = len(seq)
         buf_parts.append(seq)
-        has_minus = bool((orfs.strand < 0).any())
-        if has_minus:
-            buf_parts.append(revcomp_ascii(seq))
+        if rc is not None:
+            buf_parts.append(rc)
         gstart_parts.append(buf_off + orfs.frame_from
                             + np.where(orfs.strand < 0, L, 0))
         glen_parts.append(orfs.frame_to - orfs.frame_from + 1)
-        buf_off += L * (2 if has_minus else 1)
+        buf_off += L * (2 if rc is not None else 1)
         orf_contig.append(np.full(nk, ci, dtype=np.int32))
         orf_from.append(orfs.contig_from)
         orf_to.append(orfs.contig_to)
