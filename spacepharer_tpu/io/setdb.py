@@ -185,9 +185,20 @@ def build_setdb_from_fasta(files: list, spacer_mode: bool = False,
                            taxdump_dir: Optional[str] = None) -> SetDB:
     """FASTA files -> SetDB. One set per input file."""
     contigs, accs, headers, c2s, set_names = [], [], [], [], []
+
+    def _read(path):
+        return list(iter_fasta(path))
+
+    if len(files) > 1 and (os.cpu_count() or 1) > 1:
+        # gz/bz2 decompression releases the GIL; overlap file reads
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=min(4, os.cpu_count())) as ex:
+            per_file = list(ex.map(_read, files))
+    else:
+        per_file = [_read(p) for p in files]
     for fi, path in enumerate(files):
         set_names.append(os.path.basename(path))
-        for e in iter_fasta(path):
+        for e in per_file[fi]:
             contigs.append(e.seq)
             accs.append(parse_fasta_header_accession(e.header))
             headers.append(e.header)
