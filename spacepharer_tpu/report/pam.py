@@ -45,7 +45,15 @@ def _revcomp_str(s: str) -> str:
 
 
 def find_pam(aln_entries: dict, target_db, flanking_len: int = 10) -> dict:
-    """Append PAM columns to merged alignment rows ({set: rows})."""
+    """Append PAM columns to merged alignment rows ({set: rows}).
+
+    Like the reference (FindPam.cpp:156 reads only the first
+    _set_to_contig line), flanks always come from the set's FIRST
+    contig — correct for single-contig sets (the supported catalogs).
+    For hits on later contigs the reference reads past the first
+    contig's DB entry into adjacent memory (undefined bytes); here
+    out-of-bounds flank positions are clamped instead, so PAM columns
+    can differ from the reference's garbage in that case."""
     set_to_first_contig = target_db.set_to_first_contig()
     out = {}
     for skey, rows in aln_entries.items():
@@ -64,8 +72,13 @@ def find_pam(aln_entries: dict, target_db, flanking_len: int = 10) -> dict:
             if not q_rev and not t_rev:
                 five_end = ts - qs
                 three_end = te + (qlen - qe)
-                five = contig[five_end - flanking_len:five_end]
-                three = contig[three_end:three_end + flanking_len]
+                # reference loops use size_t: a start below 0 wraps and
+                # the loop is skipped (empty flank); past-the-end reads
+                # are unspecified OOB there — here they truncate
+                five = (contig[five_end - flanking_len:five_end]
+                        if five_end >= flanking_len else contig[0:0])
+                three = contig[max(three_end, 0):
+                               max(three_end + flanking_len, 0)]
                 five_s = five.tobytes().decode()
                 three_s = three.tobytes().decode()
             elif not q_rev and t_rev:
@@ -73,24 +86,32 @@ def find_pam(aln_entries: dict, target_db, flanking_len: int = 10) -> dict:
                 five_end = ts + qs
                 five_s = "".join(
                     chr(complement_ascii(contig[i:i + 1])[0])
-                    for i in range(five_end + flanking_len, five_end, -1))
+                    for i in range(five_end + flanking_len, five_end, -1)
+                    if 0 <= i < len(contig))
                 three_s = "".join(
                     chr(complement_ascii(contig[i:i + 1])[0])
-                    for i in range(three_end, three_end - flanking_len, -1))
+                    for i in range(three_end, three_end - flanking_len, -1)
+                    if 0 <= i < len(contig))
             elif q_rev and not t_rev:
                 five_end = te + qe
                 three_end = ts - (qlen - qs)
                 five_s = "".join(
                     chr(complement_ascii(contig[i:i + 1])[0])
-                    for i in range(five_end + flanking_len, five_end, -1))
+                    for i in range(five_end + flanking_len, five_end, -1)
+                    if 0 <= i < len(contig))
                 three_s = "".join(
                     chr(complement_ascii(contig[i:i + 1])[0])
-                    for i in range(three_end, three_end - flanking_len, -1))
+                    for i in range(three_end, three_end - flanking_len, -1)
+                    if 0 <= i < len(contig))
             else:
                 five_end = te - qe
                 three_end = ts + (qlen - qs)
-                five_s = contig[five_end - flanking_len:five_end].tobytes().decode()
-                three_s = contig[three_end:three_end + flanking_len].tobytes().decode()
+                five_s = (contig[five_end - flanking_len:five_end]
+                          if five_end >= flanking_len
+                          else contig[0:0]).tobytes().decode()
+                three_s = contig[max(three_end, 0):
+                                 max(three_end + flanking_len, 0)
+                                 ].tobytes().decode()
 
             fwd5, fwd3 = search_pam(three_s, five_s, flanking_len)
             rev3 = _revcomp_str(five_s)
