@@ -441,3 +441,210 @@ int64_t build_postings(const uint8_t *flat, int64_t n_flat,
     free(aux);
     return out_n;
 }
+
+/* ---- prefilter finalize: duplicate filter + diagonal rescore ----
+ *
+ * Replicates ops.prefilter.prefilter_query's tail exactly (the
+ * double-diagonal filter of CacheFriendlyOperations::findDuplicates,
+ * lib/mmseqs/src/prefiltering/CacheFriendlyOperations.cpp:146-225,
+ * including the cross-bin slot-state leak, plus the per-(target,
+ * diagonal) ungapped rescore of UngappedAlignment and the
+ * histogram/max_seqs threshold of QueryMatcher.h:199-209).
+ *
+ * Inputs: the per-query match stream (m_t, m_d16) in reference stream
+ * order (k-mer position asc, similar-kmer enumeration order, postings
+ * order). Outputs hit rows (target, score, signed diagonal) sorted by
+ * (score desc, target asc), truncated to max_seqs. Returns the count.
+ */
+
+static int32_t diag_segment_max(const int32_t *prof, int32_t lq, int32_t A,
+                                const uint8_t *t, int64_t lt, int32_t d) {
+    int64_t qs, ts, ln;
+    if (d >= 0) {
+        if (d >= lq) return 0;
+        qs = d; ts = 0;
+        ln = lt < (int64_t)(lq - d) ? lt : (int64_t)(lq - d);
+    } else {
+        int64_t md = -(int64_t)d;
+        if (md >= lt) return 0;
+        qs = 0; ts = md;
+        ln = (lt - md) < (int64_t)lq ? (lt - md) : (int64_t)lq;
+    }
+    int64_t run = 0, best = 0;
+    const uint8_t *tp = t + ts;
+    const int32_t *pp = prof + qs * A;
+    for (int64_t i = 0; i < ln; i++) {
+        run += pp[i * A + tp[i]];
+        if (run < 0) run = 0;
+        else if (run > best) best = run;
+    }
+    return (int32_t)best;
+}
+
+typedef struct { int32_t t, capped, exact, d_signed; } pref_hit_t;
+
+static int pref_hit_cmp(const void *a, const void *b) {
+    const pref_hit_t *x = (const pref_hit_t *)a, *y = (const pref_hit_t *)b;
+    if (x->exact != y->exact) return (x->exact < y->exact) ? 1 : -1;
+    return (x->t > y->t) - (x->t < y->t);
+}
+
+static int cmp_int64(const void *a, const void *b) {
+    int64_t x = *(const int64_t *)a, y = *(const int64_t *)b;
+    return (x > y) - (x < y);
+}
+
+int64_t prefilter_finalize(
+    const int32_t *m_t, const uint16_t *m_d, int64_t n_matches,
+    int32_t bin_bits,
+    const uint8_t *flat_masked, const int64_t *t_starts, int64_t n_targets,
+    const int32_t *profile, int32_t lq, int32_t A,
+    int32_t cap, int32_t min_diag_score, int32_t max_seqs,
+    int32_t *out_t, int32_t *out_score, int32_t *out_diag) {
+    if (n_matches == 0) return 0;
+    int64_t n_bins = (int64_t)1 << bin_bits;
+    int32_t bin_mask = (int32_t)(n_bins - 1);
+    int64_t n_slots = (n_targets >> bin_bits) + 2;
+
+    /* stable counting sort of the stream by bin */
+    int64_t *bin_off = (int64_t *)calloc((size_t)(n_bins + 1), sizeof(int64_t));
+    int32_t *s_t = (int32_t *)malloc((size_t)n_matches * sizeof(int32_t));
+    uint16_t *s_d = (uint16_t *)malloc((size_t)n_matches * sizeof(uint16_t));
+    int64_t *kept = (int64_t *)malloc((size_t)n_matches * sizeof(int64_t));
+    int32_t *emit_t = (int32_t *)malloc((size_t)n_matches * sizeof(int32_t));
+    uint16_t *emit_d = (uint16_t *)malloc((size_t)n_matches * sizeof(uint16_t));
+    int64_t *emit_idx = (int64_t *)malloc((size_t)n_matches * sizeof(int64_t));
+    uint8_t *slots = (uint8_t *)calloc((size_t)n_slots, 1);
+    if (!bin_off || !s_t || !s_d || !kept || !emit_t || !emit_d
+        || !emit_idx || !slots) {
+        free(bin_off); free(s_t); free(s_d); free(kept);
+        free(emit_t); free(emit_d); free(emit_idx); free(slots);
+        return -1;
+    }
+    for (int64_t i = 0; i < n_matches; i++)
+        bin_off[(m_t[i] & bin_mask) + 1]++;
+    for (int64_t b = 0; b < n_bins; b++)
+        bin_off[b + 1] += bin_off[b];
+    {
+        int64_t *cur = (int64_t *)malloc((size_t)n_bins * sizeof(int64_t));
+        memcpy(cur, bin_off, (size_t)n_bins * sizeof(int64_t));
+        for (int64_t i = 0; i < n_matches; i++) {
+            int64_t p = cur[m_t[i] & bin_mask]++;
+            s_t[p] = m_t[i];
+            s_d[p] = m_d[i];
+        }
+        free(cur);
+    }
+
+    int64_t n_emit = 0;
+    for (int64_t b = 0; b < n_bins; b++) {
+        int64_t lo = bin_off[b], hi = bin_off[b + 1];
+        if (lo == hi) continue;
+        /* stage A: keep iff slot state equals d8; always update state */
+        int64_t nk = 0;
+        for (int64_t i = lo; i < hi; i++) {
+            int64_t slot = (int64_t)s_t[i] >> bin_bits;
+            uint8_t d8 = (uint8_t)s_d[i];
+            if (slots[slot] == d8) kept[nk++] = i;
+            slots[slot] = d8;
+        }
+        /* stage B: reverse pass seeds slot = first-kept d8 + 1 */
+        for (int64_t k = nk - 1; k >= 0; k--) {
+            int64_t i = kept[k];
+            slots[(int64_t)s_t[i] >> bin_bits] = (uint8_t)(s_d[i] + 1);
+        }
+        /* stage C: drop consecutive same-diagonal duplicates per slot */
+        for (int64_t k = 0; k < nk; k++) {
+            int64_t i = kept[k];
+            int64_t slot = (int64_t)s_t[i] >> bin_bits;
+            uint8_t d8 = (uint8_t)s_d[i];
+            if (slots[slot] != d8) {
+                emit_t[n_emit] = s_t[i];
+                emit_d[n_emit] = s_d[i];
+                emit_idx[n_emit] = n_emit;
+                n_emit++;
+            }
+            slots[slot] = d8;
+        }
+    }
+    free(bin_off); free(s_t); free(s_d); free(kept); free(slots);
+
+    /* group emits by target, preserving emit order within a target:
+     * stable sort on composite key (target << 32) | emit_position.
+     * A target lives in exactly one bin, so its emits are already
+     * contiguous in ONE bin's stage-C order; the composite sort just
+     * gathers its run while keeping that order. */
+    int64_t n_hits = 0;
+    if (n_emit) {
+        int64_t *keys = (int64_t *)malloc((size_t)n_emit * sizeof(int64_t));
+        pref_hit_t *hits = (pref_hit_t *)malloc(
+            (size_t)n_emit * sizeof(pref_hit_t));
+        int64_t hist[256];
+        memset(hist, 0, sizeof(hist));
+        if (!keys || !hits) {
+            free(keys); free(hits);
+            free(emit_t); free(emit_d); free(emit_idx);
+            return -1;
+        }
+        for (int64_t i = 0; i < n_emit; i++)
+            keys[i] = ((int64_t)emit_t[i] << 32) | (int64_t)i;
+        qsort(keys, (size_t)n_emit, sizeof(int64_t), cmp_int64);
+
+        int64_t i = 0, nh = 0;
+        while (i < n_emit) {
+            int32_t t = (int32_t)(keys[i] >> 32);
+            const uint8_t *tseq = flat_masked + t_starts[t];
+            int64_t lt = t_starts[t + 1] - t_starts[t];
+            int32_t best = -1, best_exact = 0;
+            uint16_t best_d = 0;
+            for (; i < n_emit && (int32_t)(keys[i] >> 32) == t; i++) {
+                uint16_t d16 = emit_d[(int64_t)(keys[i] & 0xFFFFFFFF)];
+                int32_t d = (d16 >= 32768) ? (int32_t)d16 - 65536
+                                           : (int32_t)d16;
+                int32_t sc = diag_segment_max(profile, lq, A, tseq, lt, d);
+                int32_t sc_cap = sc < cap ? sc : cap;
+                if (sc_cap > best) {
+                    best = sc_cap;
+                    best_d = d16;
+                    best_exact = sc;
+                }
+            }
+            hits[nh].t = t;
+            hits[nh].capped = best;
+            /* saturated entries report the exact rescoring
+             * (QueryMatcher.cpp:371-373 getResult escape) */
+            hits[nh].exact = (best >= cap) ? best_exact : best;
+            hits[nh].d_signed = (best_d >= 32768) ? (int32_t)best_d - 65536
+                                                  : (int32_t)best_d;
+            hist[best < 255 ? best : 255]++;
+            nh++;
+        }
+        free(keys);
+
+        /* threshold: scan 255->1 accumulating counts (QueryMatcher.h:199) */
+        int64_t found = 0;
+        int32_t thr = 0;
+        for (int32_t s = 255; s > 0; s--) {
+            found += hist[s];
+            if (found >= max_seqs) { thr = s; break; }
+        }
+        if (thr < min_diag_score) thr = min_diag_score;
+
+        int64_t no = 0;
+        for (int64_t h = 0; h < nh; h++) {
+            if (hits[h].capped < thr) continue;
+            hits[no++] = hits[h];
+        }
+        qsort(hits, (size_t)no, sizeof(pref_hit_t), pref_hit_cmp);
+        if (no > max_seqs) no = max_seqs;
+        for (int64_t h = 0; h < no; h++) {
+            out_t[h] = hits[h].t;
+            out_score[h] = hits[h].exact;
+            out_diag[h] = hits[h].d_signed;
+        }
+        n_hits = no;
+        free(hits);
+    }
+    free(emit_t); free(emit_d); free(emit_idx);
+    return n_hits;
+}

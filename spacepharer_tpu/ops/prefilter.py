@@ -72,6 +72,21 @@ class TargetIndex:
     uniq_start: np.ndarray            # int64 [U+1] offsets into postings
     uniq_letters: np.ndarray          # int8 [U, k] decomposed letters
     db_residues: int                  # total residues (unmasked lengths)
+    flat_masked: Optional[np.ndarray] = None   # uint8 concat of seqs_masked
+    masked_starts: Optional[np.ndarray] = None  # int64 [n+1]
+
+    def packed_masked(self):
+        """(flat uint8, starts int64) of the masked target sequences —
+        the layout the native finalize kernel consumes."""
+        if self.flat_masked is None:
+            starts = np.zeros(len(self.seqs_masked) + 1, dtype=np.int64)
+            np.cumsum([len(s) for s in self.seqs_masked], out=starts[1:])
+            self.flat_masked = (
+                np.ascontiguousarray(np.concatenate(self.seqs_masked),
+                                     dtype=np.uint8)
+                if len(starts) > 1 and starts[-1] else np.zeros(0, np.uint8))
+            self.masked_starts = starts
+        return self.flat_masked, self.masked_starts
 
 
 def _spaced_codes(seq_num: np.ndarray, offsets: np.ndarray, span: int,
@@ -161,7 +176,8 @@ def build_target_index(aa_seqs: list, params: PrefilterParams,
         post_seq = out_seq[:n].copy()
         post_pos = out_pos[:n].copy()
         return _finish_index(aa_seqs, masked_seqs, codes, post_seq,
-                             post_pos, params, db_residues)
+                             post_pos, params, db_residues,
+                             packed_masked=(flat8, starts))
 
     if params.mask:
         ratios = likelihood_ratios(seed_m)
@@ -240,11 +256,7 @@ def save_target_index(index: TargetIndex, setdb_path: str,
     import json as _json
     d = os.path.join(setdb_path, f"index_{index_cache_key(params)}")
     os.makedirs(d, exist_ok=True)
-    starts = np.zeros(len(index.seqs_masked) + 1, dtype=np.int64)
-    np.cumsum([len(s) for s in index.seqs_masked], out=starts[1:])
-    flat_masked = (np.concatenate(index.seqs_masked).astype(np.uint8)
-                   if len(starts) > 1 and starts[-1]
-                   else np.zeros(0, np.uint8))
+    flat_masked, starts = index.packed_masked()
     np.save(os.path.join(d, "flat_masked.npy"), flat_masked)
     np.save(os.path.join(d, "starts.npy"), starts)
     for name in ("codes", "post_seq", "post_pos", "uniq_codes",
@@ -279,11 +291,12 @@ def load_target_index(setdb_path: str,
         post_pos=arr["post_pos"], uniq_codes=arr["uniq_codes"],
         uniq_start=arr["uniq_start"], uniq_letters=arr["uniq_letters"],
         db_residues=int(meta["db_residues"]),
+        flat_masked=flat, masked_starts=np.asarray(starts, dtype=np.int64),
     )
 
 
 def _finish_index(aa_seqs, masked_seqs, codes, post_seq, post_pos,
-                  params, db_residues) -> TargetIndex:
+                  params, db_residues, packed_masked=None) -> TargetIndex:
     """Postings (already in final (code, seq) order) -> TargetIndex."""
     if len(codes):
         boundary = np.concatenate(
@@ -301,13 +314,19 @@ def _finish_index(aa_seqs, masked_seqs, codes, post_seq, post_pos,
     for kk in range(k - 1, -1, -1):
         letters[:, kk] = tmp % 20
         tmp //= 20
-    return TargetIndex(
+    idx = TargetIndex(
         seqs_masked=masked_seqs,
         seq_lengths=np.array([len(s) for s in aa_seqs], dtype=np.int64),
         codes=codes, post_seq=post_seq, post_pos=post_pos,
         uniq_codes=uniq_codes, uniq_start=uniq_start, uniq_letters=letters,
         db_residues=db_residues,
     )
+    if packed_masked is not None:
+        idx.flat_masked = np.ascontiguousarray(packed_masked[0],
+                                               dtype=np.uint8)
+        idx.masked_starts = np.ascontiguousarray(packed_masked[1],
+                                                 dtype=np.int64)
+    return idx
 
 
 def ungapped_diagonal_score(profile: np.ndarray, tseq: np.ndarray,
@@ -520,6 +539,48 @@ def prefilter_query(q_num: np.ndarray, index: TargetIndex,
     m_t = np.concatenate(m_t_parts)
     m_d = np.concatenate(m_d_parts)
 
+    # ungapped rescoring profile: VTML40x2 + aaCorr (bias80/4 rounded)
+    aa_corr = round_half_away(bias80 / 4.0)
+    profile = ungapped_m.scores[q_num].astype(np.int64) + aa_corr[:, None]
+    # cap semantics (UngappedAlignment byte saturation)
+    sub_min = int(ungapped_m.scores.min())
+    u_bias = abs(sub_min) + abs(int(min(aa_corr.min(initial=0), 0)))
+    cap = 255 - u_bias
+
+    from ..native import get_lib
+    lib = get_lib()
+    if lib is not None:
+        return _finalize_native(lib, m_t, m_d, index, profile, cap, params)
+    return _finalize_py(m_t, m_d, index, profile, cap, params)
+
+
+def _finalize_native(lib, m_t, m_d, index: TargetIndex, profile, cap,
+                     params: PrefilterParams) -> list:
+    """C path of the dup filter + diag rescore (sw_native.c
+    prefilter_finalize); bit-identical to _finalize_py."""
+    flatm, mstarts = index.packed_masked()
+    m_t32 = np.ascontiguousarray(m_t, dtype=np.int32)
+    m_d16 = np.ascontiguousarray(m_d, dtype=np.uint16)
+    prof32 = np.ascontiguousarray(profile, dtype=np.int32)
+    n = len(m_t32)
+    out_t = np.empty(n, dtype=np.int32)
+    out_s = np.empty(n, dtype=np.int32)
+    out_d = np.empty(n, dtype=np.int32)
+    nh = lib.prefilter_finalize(
+        m_t32.ctypes.data, m_d16.ctypes.data, n,
+        _bin_bits(len(index.seq_lengths)),
+        flatm.ctypes.data, mstarts.ctypes.data, len(index.seq_lengths),
+        prof32.ctypes.data, prof32.shape[0], prof32.shape[1],
+        int(cap), params.min_diag_score, params.max_seqs,
+        out_t.ctypes.data, out_s.ctypes.data, out_d.ctypes.data)
+    if nh < 0:
+        return _finalize_py(m_t, m_d, index, profile, cap, params)
+    return [PrefilterHit(int(out_t[i]), int(out_s[i]), int(out_d[i]))
+            for i in range(nh)]
+
+
+def _finalize_py(m_t, m_d, index: TargetIndex, profile, cap,
+                 params: PrefilterParams) -> list:
     # double-diagonal filter (CacheFriendlyOperations::findDuplicates,
     # CacheFriendlyOperations.cpp:146-225): targets are binned by
     # seqId & (BINSIZE-1); the per-slot (seqId >> log2(BINSIZE)) state
@@ -530,6 +591,8 @@ def prefilter_query(q_num: np.ndarray, index: TargetIndex,
     # consecutive same-diagonal duplicates per slot.
     bin_bits = _bin_bits(len(index.seq_lengths))
     bin_mask = (1 << bin_bits) - 1
+    m_t = np.asarray(m_t)
+    m_d = np.asarray(m_d)
     d_u8 = (m_d & 0xFF).astype(np.int64)
     slots = {}
     diag_sets = {}
@@ -549,14 +612,6 @@ def prefilter_query(q_num: np.ndarray, index: TargetIndex,
             if slots[slot] != d8:
                 diag_sets.setdefault(t, []).append(d16)
             slots[slot] = d8
-
-    # ungapped rescoring profile: VTML40x2 + aaCorr (bias80/4 rounded)
-    aa_corr = round_half_away(bias80 / 4.0)
-    profile = ungapped_m.scores[q_num].astype(np.int64) + aa_corr[:, None]
-    # cap semantics (UngappedAlignment byte saturation)
-    sub_min = int(ungapped_m.scores.min())
-    u_bias = abs(sub_min) + abs(int(min(aa_corr.min(initial=0), 0)))
-    cap = 255 - u_bias
 
     results = []
     for t, dlist in diag_sets.items():

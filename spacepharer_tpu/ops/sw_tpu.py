@@ -132,8 +132,9 @@ def score_pairs_bucketed(pairs, q_seqs, t_seqs, matrix_scores,
     LT = min(1 << max(8, (min(max_lt, 2048) - 1).bit_length()), 2048)
     B = 512
     out = np.zeros(len(pairs), dtype=np.int64)
-    short_idx = [i for i, (_, ti) in enumerate(pairs) if len(t_seqs[ti]) <= LT]
-    long_idx = [i for i in range(len(pairs)) if i not in set(short_idx)]
+    short_idx, long_idx = [], []
+    for i, (_, ti) in enumerate(pairs):
+        (short_idx if len(t_seqs[ti]) <= LT else long_idx).append(i)
 
     def _run(idxs, lt_pad):
         for start in range(0, len(idxs), B):

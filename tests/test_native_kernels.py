@@ -127,3 +127,45 @@ def test_translate_batch_native_vs_numpy(monkeypatch):
     monkeypatch.setattr(nat, "get_lib", lambda: None)
     b, bo = tr.translate_batch(flat, offs)
     assert np.array_equal(a, b) and np.array_equal(ao, bo)
+
+
+def test_prefilter_finalize_matches_python():
+    """prefilter_finalize (dup filter + diag rescore + histogram) vs the
+    Python _finalize_py, over randomized match streams engineered to
+    exercise the bin-state-leak quirk, the u8 cap escape, and the
+    max_seqs truncation."""
+    lib = get_lib()
+    m40 = load_matrix("VTML40.out", 2.0)
+    rng = np.random.default_rng(11)
+    for trial in range(60):
+        n_targets = int(rng.integers(1, 600))
+        lq = int(rng.integers(6, 30))
+        q = _rand_seq(rng, lq)
+        bias = rng.integers(-2, 3, size=lq)
+        profile = m40.scores[q].astype(np.int64) + bias[:, None]
+        tl = rng.integers(8, 120, size=n_targets)
+        starts = np.zeros(n_targets + 1, dtype=np.int64)
+        np.cumsum(tl, out=starts[1:])
+        flat = rng.integers(0, 21, size=int(starts[-1])).astype(np.uint8)
+        seqs = [flat[starts[i]:starts[i + 1]].astype(np.int64)
+                for i in range(n_targets)]
+        index = pf.TargetIndex(
+            seqs_masked=seqs, seq_lengths=tl.astype(np.int64),
+            codes=np.zeros(0, np.int64), post_seq=np.zeros(0, np.int32),
+            post_pos=np.zeros(0, np.int32), uniq_codes=np.zeros(0, np.int64),
+            uniq_start=np.zeros(1, np.int64),
+            uniq_letters=np.zeros((0, 6), np.int8),
+            db_residues=int(starts[-1]))
+        n_matches = int(rng.integers(1, 4000))
+        m_t = rng.integers(0, n_targets, size=n_matches).astype(np.int64)
+        # biased diagonals so duplicates and u8 collisions actually occur
+        m_d = (rng.integers(-4, 5, size=n_matches)
+               + rng.choice([0, 3, 256, -256], size=n_matches)) & 0xFFFF
+        params = pf.PrefilterParams(
+            max_seqs=int(rng.integers(1, 40)),
+            min_diag_score=int(rng.integers(0, 20)))
+        cap = int(rng.integers(20, 256))
+        py = pf._finalize_py(m_t, m_d, index, profile, cap, params)
+        nat = pf._finalize_native(lib, m_t, m_d, index, profile, cap, params)
+        assert [(h.target, h.score, h.diagonal) for h in nat] \
+            == [(h.target, h.score, h.diagonal) for h in py], trial
