@@ -92,6 +92,8 @@ def get_lib():
         ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
     ]
+    lib.build_postings_v2.restype = ctypes.c_int64
+    lib.build_postings_v2.argtypes = lib.build_postings.argtypes
     lib.prefilter_finalize.restype = ctypes.c_int64
     lib.prefilter_finalize.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,

@@ -648,3 +648,247 @@ int64_t prefilter_finalize(
     free(emit_t); free(emit_d); free(emit_idx);
     return n_hits;
 }
+
+/* ---- build_postings_v2: packed-u64 parallel counting sort ----
+ *
+ * Same output contract as build_postings (the CSR k-mer index of
+ * IndexTable.h:25-38 as (code, seq, first-pos) triples in (code, seq)
+ * order) but engineered for hosts with expensive first-touch: records
+ * pack into one u64 (code 26b | seq 21b | pos 16b), buffers come from
+ * mmap with MADV_HUGEPAGE, the k-mer scan runs twice (count + emit,
+ * the scan is cheap) so every buffer is exact-size, and both radix
+ * scatter passes are multi-threaded counting sorts with per-worker
+ * bucket offsets. Caller must guarantee n_seqs < 2^21 and every
+ * sequence length <= 65535 (ORFs are capped at 32734 upstream,
+ * Search.cpp:27). */
+
+#include <sys/mman.h>
+
+#ifndef MADV_HUGEPAGE
+#define MADV_HUGEPAGE 14
+#endif
+
+static void *big_alloc(size_t n) {
+    size_t sz = (n + 4095) & ~(size_t)4095;
+    void *p = mmap(NULL, sz, PROT_READ | PROT_WRITE,
+                   MAP_PRIVATE | MAP_ANONYMOUS, -1, 0);
+    if (p == MAP_FAILED) return NULL;
+    if (sz >= (1u << 21)) madvise(p, sz, MADV_HUGEPAGE);
+    return p;
+}
+
+static void big_free(void *p, size_t n) {
+    if (p) munmap(p, (n + 4095) & ~(size_t)4095);
+}
+
+#define PK_RADIX_BITS 13
+#define PK_NBUCKET (1 << PK_RADIX_BITS)
+#define PK_MAXW 4
+
+typedef struct {
+    const uint8_t *flat;
+    const int32_t *offsets;
+    int32_t k, span, kmer_thr, x_idx;
+    const int64_t *seq_starts;
+    const int32_t *self_scores;
+    int64_t seq_lo, seq_hi;
+    /* phase 0: count only; phase 1: emit with per-bucket cursors */
+    int phase;
+    int64_t cnt;
+    int64_t hist[PK_NBUCKET];     /* digit1 = bits 37..49 histogram */
+    int64_t *cursor;              /* [PK_NBUCKET] scatter cursors (phase 1) */
+    uint64_t *out;
+} pk_scan_job_t;
+
+static void *pk_scan_worker(void *arg) {
+    pk_scan_job_t *j = (pk_scan_job_t *)arg;
+    const int32_t k = j->k, span = j->span;
+    int64_t cnt = 0;
+    for (int64_t s = j->seq_lo; s < j->seq_hi; s++) {
+        const uint8_t *seq = j->flat + j->seq_starts[s];
+        int64_t n_win = (j->seq_starts[s + 1] - j->seq_starts[s]) - span + 1;
+        for (int64_t p = 0; p < n_win; p++) {
+            int64_t code = 0;
+            int32_t self = 0;
+            int valid = 1;
+            for (int32_t o = 0; o < k; o++) {
+                uint8_t c = seq[p + j->offsets[o]];
+                if (c == j->x_idx) { valid = 0; break; }
+                code = code * 20 + c;
+                self += j->self_scores[c];
+            }
+            if (valid && self >= j->kmer_thr) {
+                uint64_t key = ((uint64_t)code << 37)
+                             | ((uint64_t)s << 16) | (uint64_t)p;
+                int32_t d1 = (int32_t)((key >> 37) & (PK_NBUCKET - 1));
+                if (j->phase == 0) {
+                    j->hist[d1]++;
+                } else {
+                    j->out[j->cursor[d1]++] = key;
+                }
+                cnt++;
+            }
+        }
+    }
+    j->cnt = cnt;
+    return NULL;
+}
+
+typedef struct {
+    const uint64_t *in;
+    int64_t lo, hi;
+    int shift;                    /* digit = (key >> shift) & mask */
+    int phase;
+    int64_t hist[PK_NBUCKET];
+    int64_t *cursor;
+    uint64_t *out;
+} pk_scatter_job_t;
+
+static void *pk_scatter_worker(void *arg) {
+    pk_scatter_job_t *j = (pk_scatter_job_t *)arg;
+    const uint64_t *in = j->in;
+    const int shift = j->shift;
+    if (j->phase == 0) {
+        for (int64_t i = j->lo; i < j->hi; i++)
+            j->hist[(in[i] >> shift) & (PK_NBUCKET - 1)]++;
+    } else {
+        for (int64_t i = j->lo; i < j->hi; i++)
+            j->out[j->cursor[(in[i] >> shift) & (PK_NBUCKET - 1)]++] = in[i];
+    }
+    return NULL;
+}
+
+/* exclusive scan over [bucket][worker] counts -> per-worker cursors */
+static void pk_layout(int64_t (*hists)[PK_NBUCKET], int64_t (*cursors)[PK_NBUCKET],
+                      int nw) {
+    int64_t sum = 0;
+    for (int32_t b = 0; b < PK_NBUCKET; b++) {
+        for (int w = 0; w < nw; w++) {
+            cursors[w][b] = sum;
+            sum += hists[w][b];
+        }
+    }
+}
+
+int64_t build_postings_v2(const uint8_t *flat, int64_t n_flat,
+                          const int32_t *offsets, int32_t k, int32_t span,
+                          const int64_t *seq_starts, int64_t n_seqs,
+                          const int32_t *self_scores, int32_t kmer_thr,
+                          int32_t x_idx,
+                          int32_t *out_code, int32_t *out_seq,
+                          int32_t *out_pos) {
+    if (n_flat < span || n_seqs <= 0) return 0;
+    if (n_seqs >= ((int64_t)1 << 21)) return -2;  /* caller falls back */
+
+    long ncpu = sysconf(_SC_NPROCESSORS_ONLN);
+    int nw = ncpu > 1 ? (ncpu > PK_MAXW ? PK_MAXW : (int)ncpu) : 1;
+    if (n_seqs < nw) nw = 1;
+
+    static pk_scan_job_t sjobs[PK_MAXW];
+    static int64_t hists[PK_MAXW][PK_NBUCKET];
+    static int64_t cursors[PK_MAXW][PK_NBUCKET];
+    pthread_t tids[PK_MAXW];
+
+    /* split sequences by residue mass */
+    int64_t split_lo[PK_MAXW + 1];
+    split_lo[0] = 0;
+    {
+        int64_t total = seq_starts[n_seqs], lo = 0;
+        for (int w = 0; w < nw; w++) {
+            int64_t target = total * (w + 1) / nw;
+            int64_t hi = lo;
+            while (hi < n_seqs && seq_starts[hi] < target) hi++;
+            if (w == nw - 1) hi = n_seqs;
+            split_lo[w + 1] = hi;
+            lo = hi;
+        }
+    }
+
+    /* phase 0: count (exact sizes + digit-1 histogram) */
+    for (int w = 0; w < nw; w++) {
+        sjobs[w] = (pk_scan_job_t){flat, offsets, k, span, kmer_thr, x_idx,
+                                   seq_starts, self_scores,
+                                   split_lo[w], split_lo[w + 1],
+                                   0, 0, {0}, NULL, NULL};
+    }
+    int spawned = 0;
+    for (int w = 1; w < nw; w++)
+        if (pthread_create(&tids[w - 1], NULL, pk_scan_worker, &sjobs[w]) == 0)
+            spawned++;
+    pk_scan_worker(&sjobs[0]);
+    for (int t = 0; t < spawned; t++) pthread_join(tids[t], NULL);
+
+    int64_t cnt = 0;
+    for (int w = 0; w < nw; w++) {
+        cnt += sjobs[w].cnt;
+        memcpy(hists[w], sjobs[w].hist, sizeof(hists[w]));
+    }
+    if (cnt == 0) return 0;
+
+    uint64_t *buf1 = (uint64_t *)big_alloc((size_t)cnt * 8);
+    uint64_t *buf2 = (uint64_t *)big_alloc((size_t)cnt * 8);
+    if (!buf1 || !buf2) {
+        big_free(buf1, (size_t)cnt * 8);
+        big_free(buf2, (size_t)cnt * 8);
+        return -1;
+    }
+
+    /* phase 1: emit-scatter by digit 1 (bits 37..49), stable:
+     * bucket-major, worker order within bucket = global scan order */
+    pk_layout(hists, cursors, nw);
+    for (int w = 0; w < nw; w++) {
+        sjobs[w].phase = 1;
+        sjobs[w].cursor = cursors[w];
+        sjobs[w].out = buf1;
+    }
+    spawned = 0;
+    for (int w = 1; w < nw; w++)
+        if (pthread_create(&tids[w - 1], NULL, pk_scan_worker, &sjobs[w]) == 0)
+            spawned++;
+    pk_scan_worker(&sjobs[0]);
+    for (int t = 0; t < spawned; t++) pthread_join(tids[t], NULL);
+
+    /* pass 2: scatter by digit 2 (bits 50..62), same parallel layout */
+    static pk_scatter_job_t cjobs[PK_MAXW];
+    for (int w = 0; w < nw; w++) {
+        cjobs[w] = (pk_scatter_job_t){buf1, cnt * w / nw, cnt * (w + 1) / nw,
+                                      37 + PK_RADIX_BITS, 0, {0}, NULL, NULL};
+    }
+    spawned = 0;
+    for (int w = 1; w < nw; w++)
+        if (pthread_create(&tids[w - 1], NULL, pk_scatter_worker, &cjobs[w]) == 0)
+            spawned++;
+    pk_scatter_worker(&cjobs[0]);
+    for (int t = 0; t < spawned; t++) pthread_join(tids[t], NULL);
+    for (int w = 0; w < nw; w++)
+        memcpy(hists[w], cjobs[w].hist, sizeof(hists[w]));
+    pk_layout(hists, cursors, nw);
+    for (int w = 0; w < nw; w++) {
+        cjobs[w].phase = 1;
+        cjobs[w].cursor = cursors[w];
+        cjobs[w].out = buf2;
+    }
+    spawned = 0;
+    for (int w = 1; w < nw; w++)
+        if (pthread_create(&tids[w - 1], NULL, pk_scatter_worker, &cjobs[w]) == 0)
+            spawned++;
+    pk_scatter_worker(&cjobs[0]);
+    for (int t = 0; t < spawned; t++) pthread_join(tids[t], NULL);
+
+    /* dedup consecutive (code, seq) = equal key>>16, keep first
+     * (stable sort preserved pos-ascending order within the pair) */
+    int64_t out_n = 0;
+    uint64_t prev = ~(uint64_t)0;
+    for (int64_t i = 0; i < cnt; i++) {
+        uint64_t key = buf2[i];
+        if ((key >> 16) == prev) continue;
+        prev = key >> 16;
+        out_code[out_n] = (int32_t)(key >> 37);
+        out_seq[out_n] = (int32_t)((key >> 16) & 0x1FFFFF);
+        out_pos[out_n] = (int32_t)(key & 0xFFFF);
+        out_n++;
+    }
+    big_free(buf1, (size_t)cnt * 8);
+    big_free(buf2, (size_t)cnt * 8);
+    return out_n;
+}

@@ -165,13 +165,24 @@ def build_target_index(aa_seqs: list, params: PrefilterParams,
         out_code = np.empty(cap, dtype=np.int32)
         out_seq = np.empty(cap, dtype=np.int32)
         out_pos = np.empty(cap, dtype=np.int32)
-        n = lib.build_postings(
-            flat8.ctypes.data, len(flat8),
-            offs32.ctypes.data, len(offs32), span,
-            starts.ctypes.data, n_seqs,
-            self32.ctypes.data, int(kmer_thr), X_IDX,
-            out_code.ctypes.data, out_seq.ctypes.data,
-            out_pos.ctypes.data)
+        n = -2
+        if (n_seqs < (1 << 21)
+                and int(np.diff(starts).max(initial=0)) <= 0xFFFF):
+            n = lib.build_postings_v2(
+                flat8.ctypes.data, len(flat8),
+                offs32.ctypes.data, len(offs32), span,
+                starts.ctypes.data, n_seqs,
+                self32.ctypes.data, int(kmer_thr), X_IDX,
+                out_code.ctypes.data, out_seq.ctypes.data,
+                out_pos.ctypes.data)
+        if n < 0:  # packed-key preconditions unmet or mmap failure
+            n = lib.build_postings(
+                flat8.ctypes.data, len(flat8),
+                offs32.ctypes.data, len(offs32), span,
+                starts.ctypes.data, n_seqs,
+                self32.ctypes.data, int(kmer_thr), X_IDX,
+                out_code.ctypes.data, out_seq.ctypes.data,
+                out_pos.ctypes.data)
         codes = out_code[:n].astype(np.int64)
         post_seq = out_seq[:n].copy()
         post_pos = out_pos[:n].copy()
