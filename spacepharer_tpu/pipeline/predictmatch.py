@@ -69,6 +69,17 @@ def search_setdbs(query_db: SetDB, target_db: SetDB,
     if index is None:
         index = build_target_index(t_aa, params.prefilter,
                                    packed=(t_flat, t_off))
+        if target_db.path and os.access(target_db.path, os.W_OK):
+            # auto-createindex: persist the freshly built index so every
+            # later search of this SetDB mmap-loads it (the reference
+            # pays IndexBuilder per prefilter run unless the user runs
+            # createindex, Prefiltering.cpp:734; here first use = once)
+            from ..ops.prefilter import save_target_index
+            try:
+                save_target_index(index, target_db.path, params.prefilter)
+                log(2, f"persisted index into {target_db.path}")
+            except OSError:
+                pass
     m40 = load_matrix(params.align.matrix, 2.0)
     seed_m = load_matrix(params.prefilter.seed_matrix, 8.0)
     enumerator = SimilarKmerEnumerator(seed_m.scores)

@@ -25,8 +25,18 @@ def _hash_inputs(command: str, params_repr: str, inputs) -> str:
     for path in inputs:
         h.update(str(path).encode())
         try:
-            st = os.stat(path)
-            h.update(f"{st.st_size}:{st.st_mtime_ns}".encode())
+            if os.path.isdir(path):
+                # SetDB directory: hash the data files only; persisted
+                # prefilter indexes (index_*) are derived caches whose
+                # appearance must not invalidate workflow resume
+                for name in sorted(os.listdir(path)):
+                    if name.startswith("index_"):
+                        continue
+                    st = os.stat(os.path.join(path, name))
+                    h.update(f"{name}:{st.st_size}:{st.st_mtime_ns}".encode())
+            else:
+                st = os.stat(path)
+                h.update(f"{st.st_size}:{st.st_mtime_ns}".encode())
         except OSError:
             pass
     return h.hexdigest()[:16]
