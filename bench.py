@@ -48,41 +48,56 @@ def build_workload():
     return qs, ts
 
 
-def run_tpu_bench(qs, ts, n_lo=2, n_hi=12):
-    """Sustained device throughput of the all-pairs SW scan.
+def run_tpu_bench(qs, ts, n_lo=2, n_hi=12, dup=20):
+    """Sustained device throughput of the packed all-pairs SW kernel.
+
+    The target side is duplicated `dup`x so the lane-packing runs in
+    its production regime (a 1x examples corpus cannot fill 128 lanes
+    past the longest ORF's depth; real catalogs are 100-1000x larger).
+    Throughput is true (unpadded) cells per second.
 
     Timing through the axon relay is treacherous: block_until_ready can
     return before execution and repeat executions of identical inputs
     are served from a cache, which once inflated this benchmark ~100x.
     The airtight protocol used here chains n data-dependent kernel
-    invocations inside one jitted fori_loop (each iteration's target
-    matrix is rolled by the loop index, so nothing folds or caches),
-    fetches the scalar result to force completion, and reports the
-    (n_hi - n_lo) subtraction — pure device compute, launch overhead
-    cancelled."""
+    invocations inside one jitted fori_loop (each iteration's c1
+    constants depend on the previous iteration's checksum, so nothing
+    folds or caches), fetches the scalar result to force completion,
+    and reports the (n_hi - n_lo) subtraction — pure device compute,
+    launch overhead cancelled."""
     import jax
     import jax.numpy as jnp
 
     from spacepharer_tpu.ops.matrices import load_matrix
-    from spacepharer_tpu.parallel.sharding import (pack_queries,
-                                                   pack_targets,
-                                                   sw_score_allpairs)
+    from spacepharer_tpu.ops.sw_packed import (pack_query_rows,
+                                               pack_targets_segmented,
+                                               sw_allpairs_packed)
 
+    ts = ts * dup
     m = load_matrix("VTML40.out", 2.0)
-    LQ = 24
-    LT = 512
-    ts_clip = [t[:LT] for t in ts]
-    q_prof, q_len = pack_queries(qs, m.scores, LQ)
-    t_seqs, t_len = pack_targets(ts_clip, LT, x_index=20)
-    args = [jax.device_put(x) for x in (q_prof, q_len, t_seqs, t_len)]
+    pack = pack_query_rows(qs, m.scores)
+    tpack = pack_targets_segmented(ts)
+    max_span = pack["max_span"]
+    sq_block = pack["sq_block"]
+    nq_block = pack["nq_block"]
+    seg_len = tpack["seg_len"]
+    args = [jax.device_put(jnp.asarray(x)) for x in
+            (pack["prof"], pack["c1"], pack["c2"], pack["first"],
+             pack["qoff"], pack["last"], tpack["t_seqs"], tpack["keep"],
+             tpack["bounds"])]
 
     @jax.jit
-    def chain(qp, ql, tseq, tlen, n):
-        def body(i, acc):
-            s = sw_score_allpairs(qp, ql, jnp.roll(tseq, i, axis=0),
-                                  tlen, 16, 2)
-            return acc + s.sum()
-        return jax.lax.fori_loop(0, n, body, jnp.int32(0))
+    def chain(prof, c1, c2, first, qoff, last, t_seqs, keep, bounds, n):
+        def body(i, carry):
+            acc, c1v = carry
+            best = sw_allpairs_packed(prof, c1v, c2, first, qoff, last,
+                                      t_seqs, keep, bounds, 16, 2,
+                                      max_span, sq_block, nq_block,
+                                      seg_len)
+            acc = acc + best.sum()
+            return acc, c1 + (acc & 1)
+        acc, _ = jax.lax.fori_loop(0, n, body, (jnp.int32(0), c1))
+        return acc
 
     np.asarray(chain(*args, 1))  # compile + warm
     t = {}
@@ -92,7 +107,9 @@ def run_tpu_bench(qs, ts, n_lo=2, n_hi=12):
         t[n] = time.perf_counter() - t0
     dt = (t[n_hi] - t[n_lo]) / (n_hi - n_lo)
 
-    true_cells = int(np.outer(q_len.astype(np.int64), t_len).sum())
+    q_lens = np.array([len(q) for q in qs], dtype=np.int64)
+    t_lens = np.array([len(t) for t in ts], dtype=np.int64)
+    true_cells = int(q_lens.sum() * t_lens.sum())
     return true_cells / dt, true_cells, dt
 
 

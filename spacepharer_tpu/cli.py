@@ -354,7 +354,7 @@ def cmd_createindex(argv):
     t0 = time.time()
     index = build_target_index(t_aa, pp, packed=(t_flat, t_off))
     d = save_target_index(index, args.setDB, pp)
-    print(f"createindex: {len(index.codes)} postings in "
+    print(f"createindex: {index.n_postings} postings in "
           f"{time.time() - t0:.1f}s -> {d}")
     return 0
 

@@ -94,6 +94,11 @@ def get_lib():
     ]
     lib.build_postings_v2.restype = ctypes.c_int64
     lib.build_postings_v2.argtypes = lib.build_postings.argtypes
+    lib.build_postings_v3.restype = ctypes.c_int64
+    lib.build_postings_v3.argtypes = (lib.build_postings.argtypes
+                                      + [ctypes.c_void_p, ctypes.c_void_p])
+    lib.postings_free_arena.restype = None
+    lib.postings_free_arena.argtypes = []
     lib.prefilter_finalize.restype = ctypes.c_int64
     lib.prefilter_finalize.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,

@@ -770,14 +770,39 @@ static void pk_layout(int64_t (*hists)[PK_NBUCKET], int64_t (*cursors)[PK_NBUCKE
     }
 }
 
-int64_t build_postings_v2(const uint8_t *flat, int64_t n_flat,
+/* Grow-only scratch arena: first-touch page faults on this class of
+ * hypervisor-backed VM cost 8-20 s/GB nondeterministically, an order of
+ * magnitude over the sort itself, so the two radix buffers persist
+ * across calls (easy-predict builds two indexes back to back). */
+static uint64_t *pk_arena[2] = {NULL, NULL};
+static size_t pk_arena_cap = 0;
+
+void postings_free_arena(void) {
+    big_free(pk_arena[0], pk_arena_cap);
+    big_free(pk_arena[1], pk_arena_cap);
+    pk_arena[0] = pk_arena[1] = NULL;
+    pk_arena_cap = 0;
+}
+
+static int pk_arena_reserve(size_t bytes) {
+    if (bytes <= pk_arena_cap && pk_arena[0]) return 1;
+    postings_free_arena();
+    pk_arena[0] = (uint64_t *)big_alloc(bytes);
+    pk_arena[1] = (uint64_t *)big_alloc(bytes);
+    if (!pk_arena[0] || !pk_arena[1]) { postings_free_arena(); return 0; }
+    pk_arena_cap = bytes;
+    return 1;
+}
+
+int64_t build_postings_v3(const uint8_t *flat, int64_t n_flat,
                           const int32_t *offsets, int32_t k, int32_t span,
                           const int64_t *seq_starts, int64_t n_seqs,
                           const int32_t *self_scores, int32_t kmer_thr,
                           int32_t x_idx,
                           int32_t *out_code, int32_t *out_seq,
-                          int32_t *out_pos) {
-    if (n_flat < span || n_seqs <= 0) return 0;
+                          int32_t *out_pos,
+                          int64_t *out_uniq_start, int64_t *n_uniq_out) {
+    if (n_flat < span || n_seqs <= 0) { if (n_uniq_out) *n_uniq_out = 0; return 0; }
     if (n_seqs >= ((int64_t)1 << 21)) return -2;  /* caller falls back */
 
     long ncpu = sysconf(_SC_NPROCESSORS_ONLN);
@@ -823,15 +848,11 @@ int64_t build_postings_v2(const uint8_t *flat, int64_t n_flat,
         cnt += sjobs[w].cnt;
         memcpy(hists[w], sjobs[w].hist, sizeof(hists[w]));
     }
-    if (cnt == 0) return 0;
+    if (cnt == 0) { if (n_uniq_out) *n_uniq_out = 0; return 0; }
 
-    uint64_t *buf1 = (uint64_t *)big_alloc((size_t)cnt * 8);
-    uint64_t *buf2 = (uint64_t *)big_alloc((size_t)cnt * 8);
-    if (!buf1 || !buf2) {
-        big_free(buf1, (size_t)cnt * 8);
-        big_free(buf2, (size_t)cnt * 8);
-        return -1;
-    }
+    if (!pk_arena_reserve((size_t)cnt * 8)) return -1;
+    uint64_t *buf1 = pk_arena[0];
+    uint64_t *buf2 = pk_arena[1];
 
     /* phase 1: emit-scatter by digit 1 (bits 37..49), stable:
      * bucket-major, worker order within bucket = global scan order */
@@ -876,19 +897,38 @@ int64_t build_postings_v2(const uint8_t *flat, int64_t n_flat,
     for (int t = 0; t < spawned; t++) pthread_join(tids[t], NULL);
 
     /* dedup consecutive (code, seq) = equal key>>16, keep first
-     * (stable sort preserved pos-ascending order within the pair) */
-    int64_t out_n = 0;
+     * (stable sort preserved pos-ascending order within the pair);
+     * record a uniq-code boundary whenever the code digit changes so
+     * the caller skips its own 34M-element boundary pass */
+    int64_t out_n = 0, n_uniq = 0;
     uint64_t prev = ~(uint64_t)0;
+    uint64_t prev_code = ~(uint64_t)0;
     for (int64_t i = 0; i < cnt; i++) {
         uint64_t key = buf2[i];
         if ((key >> 16) == prev) continue;
         prev = key >> 16;
+        if (out_uniq_start && (key >> 37) != prev_code) {
+            prev_code = key >> 37;
+            out_uniq_start[n_uniq++] = out_n;
+        }
         out_code[out_n] = (int32_t)(key >> 37);
         out_seq[out_n] = (int32_t)((key >> 16) & 0x1FFFFF);
         out_pos[out_n] = (int32_t)(key & 0xFFFF);
         out_n++;
     }
-    big_free(buf1, (size_t)cnt * 8);
-    big_free(buf2, (size_t)cnt * 8);
+    if (out_uniq_start) out_uniq_start[n_uniq] = out_n;
+    if (n_uniq_out) *n_uniq_out = n_uniq;
     return out_n;
+}
+
+int64_t build_postings_v2(const uint8_t *flat, int64_t n_flat,
+                          const int32_t *offsets, int32_t k, int32_t span,
+                          const int64_t *seq_starts, int64_t n_seqs,
+                          const int32_t *self_scores, int32_t kmer_thr,
+                          int32_t x_idx,
+                          int32_t *out_code, int32_t *out_seq,
+                          int32_t *out_pos) {
+    return build_postings_v3(flat, n_flat, offsets, k, span, seq_starts,
+                             n_seqs, self_scores, kmer_thr, x_idx,
+                             out_code, out_seq, out_pos, NULL, NULL);
 }

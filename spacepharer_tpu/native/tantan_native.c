@@ -15,7 +15,7 @@
 
 #define SCALE_STEP 16
 
-void tantan_probs(const int64_t *seq, int64_t n,
+void tantan_probs(const uint8_t *seq, int64_t n,
                   const double *ratios, int64_t alphabet,
                   int max_offset, double repeat_prob, double repeat_end_prob,
                   double decay, double min_mask_prob, uint8_t *out_mask) {
@@ -107,7 +107,8 @@ void tantan_probs(const int64_t *seq, int64_t n,
  * threads are joined before returning (no lingering pool), keeping the
  * process safely forkable afterwards. */
 typedef struct {
-    const int64_t *flat, *offsets;
+    const uint8_t *flat;
+    const int64_t *offsets;
     int64_t n_seqs;
     const double *ratios;
     int64_t alphabet;
@@ -139,7 +140,7 @@ static void *tantan_worker(void *arg) {
     return NULL;
 }
 
-void tantan_mask_batch(const int64_t *flat, const int64_t *offsets,
+void tantan_mask_batch(const uint8_t *flat, const int64_t *offsets,
                        int64_t n_seqs, const double *ratios, int64_t alphabet,
                        int max_offset, double repeat_prob,
                        double repeat_end_prob, double decay,

@@ -61,19 +61,27 @@ class PrefilterParams:
 
 @dataclass
 class TargetIndex:
-    """Device/host representation of the searchable target side."""
-    seqs_masked: list                 # list of int64 arrays (matrix alphabet, masked)
+    """Device/host representation of the searchable target side.
+
+    Postings are stored CSR-style by unique k-mer code (the IndexTable
+    layout, lib/mmseqs/src/prefiltering/IndexTable.h:25-38): uniq_codes
+    [U] sorted, uniq_start [U+1] offsets, post_seq/post_pos the entries
+    (one per (code, seq) at its first position, u16 position like the
+    reference's packed entry)."""
+    seqs_masked: list                 # list of uint8 arrays (matrix alphabet, masked)
     seq_lengths: np.ndarray
-    # postings, sorted by code: one entry per (code, seq) at first position
-    codes: np.ndarray                 # int64 [P] spaced k-mer codes (base |A|-1)
     post_seq: np.ndarray              # int32 [P]
-    post_pos: np.ndarray              # int32 [P]
+    post_pos: np.ndarray              # uint16 [P]
     uniq_codes: np.ndarray            # int64 [U]
     uniq_start: np.ndarray            # int64 [U+1] offsets into postings
     uniq_letters: np.ndarray          # int8 [U, k] decomposed letters
     db_residues: int                  # total residues (unmasked lengths)
     flat_masked: Optional[np.ndarray] = None   # uint8 concat of seqs_masked
     masked_starts: Optional[np.ndarray] = None  # int64 [n+1]
+
+    @property
+    def n_postings(self) -> int:
+        return len(self.post_seq)
 
     def packed_masked(self):
         """(flat uint8, starts int64) of the masked target sequences —
@@ -136,35 +144,31 @@ def build_target_index(aa_seqs: list, params: PrefilterParams,
         # per-sequence windows in C (no separator buffer needed)
         if packed is not None:
             starts = np.ascontiguousarray(packed[1], dtype=np.int64)
-            flat64 = packed[0].astype(np.int64)
+            flat8 = packed[0].astype(np.uint8)   # copy; masked in place
         else:
             starts = np.zeros(n_seqs + 1, dtype=np.int64)
             np.cumsum([len(s) for s in aa_seqs], out=starts[1:])
-            flat64 = np.concatenate(
-                [np.asarray(s, dtype=np.int64) for s in aa_seqs]) \
-                if db_residues else np.zeros(0, np.int64)
+            flat8 = np.concatenate(
+                [np.asarray(s, dtype=np.uint8) for s in aa_seqs]) \
+                if db_residues else np.zeros(0, np.uint8)
         if params.mask:
             from .tantan import (DECAY, MAX_CYCLE, MIN_MASK_PROB,
                                  REPEAT_END_PROB, REPEAT_PROB)
             ratios_c = np.ascontiguousarray(
                 likelihood_ratios(seed_m), dtype=np.float64)
-            mask = np.zeros(len(flat64), dtype=np.uint8)
+            mask = np.zeros(len(flat8), dtype=np.uint8)
             lib.tantan_mask_batch(
-                flat64.ctypes.data, starts.ctypes.data, n_seqs,
+                flat8.ctypes.data, starts.ctypes.data, n_seqs,
                 ratios_c.ctypes.data, ratios_c.shape[1],
                 MAX_CYCLE, REPEAT_PROB, REPEAT_END_PROB, DECAY,
                 MIN_MASK_PROB, mask.ctypes.data)
-            flat64[mask.view(bool)] = X_IDX
-        masked_seqs = [flat64[starts[i]:starts[i + 1]]
+            flat8[mask.view(bool)] = X_IDX
+        masked_seqs = [flat8[starts[i]:starts[i + 1]]
                        for i in range(n_seqs)]
-        flat8 = flat64.astype(np.uint8)
         offs32 = np.ascontiguousarray(offsets, dtype=np.int32)
         self32 = np.zeros(32, dtype=np.int32)
         self32[:len(self_scores)] = self_scores
-        cap = max(len(flat8), 1)
-        out_code = np.empty(cap, dtype=np.int32)
-        out_seq = np.empty(cap, dtype=np.int32)
-        out_pos = np.empty(cap, dtype=np.int32)
+        out_code, out_seq, out_pos = _postings_scratch(max(len(flat8), 1))
         n = -2
         if (n_seqs < (1 << 21)
                 and int(np.diff(starts).max(initial=0)) <= 0xFFFF):
@@ -183,11 +187,18 @@ def build_target_index(aa_seqs: list, params: PrefilterParams,
                 self32.ctypes.data, int(kmer_thr), X_IDX,
                 out_code.ctypes.data, out_seq.ctypes.data,
                 out_pos.ctypes.data)
-        codes = out_code[:n].astype(np.int64)
+        # boundary pass over int32 views (the scratch buffers recycle
+        # across builds; only the exact-size index arrays pay
+        # first-touch, which costs seconds/GB on this host)
+        cv = out_code[:n]
+        ustart = (np.flatnonzero(np.concatenate(([True], cv[1:] != cv[:-1])))
+                  if n else np.zeros(0, dtype=np.int64))
+        uniq_codes = cv[ustart].astype(np.int64)
+        uniq_start = np.concatenate([ustart, [n]]).astype(np.int64)
         post_seq = out_seq[:n].copy()
-        post_pos = out_pos[:n].copy()
-        return _finish_index(aa_seqs, masked_seqs, codes, post_seq,
-                             post_pos, params, db_residues,
+        post_pos = out_pos[:n].astype(np.uint16)
+        return _finish_index(masked_seqs, post_seq, post_pos,
+                             uniq_codes, uniq_start, params, db_residues,
                              packed_masked=(flat8, starts))
 
     if params.mask:
@@ -246,8 +257,14 @@ def build_target_index(aa_seqs: list, params: PrefilterParams,
                        + post_seq.astype(np.int64), kind="stable") \
         if len(codes) else np.zeros(0, dtype=np.int64)
     codes, post_seq, post_pos = codes[order], post_seq[order], post_pos[order]
-    return _finish_index(aa_seqs, masked_seqs, codes, post_seq, post_pos,
-                         params, db_residues)
+    n = len(codes)
+    ustart = (np.flatnonzero(np.concatenate(([True], codes[1:] != codes[:-1])))
+              if n else np.zeros(0, dtype=np.int64))
+    uniq_codes = codes[ustart]
+    uniq_start = np.concatenate([ustart, [n]]).astype(np.int64)
+    return _finish_index(masked_seqs, post_seq,
+                         post_pos.astype(np.uint16), uniq_codes,
+                         uniq_start, params, db_residues)
 
 
 def index_cache_key(params: PrefilterParams) -> str:
@@ -255,7 +272,7 @@ def index_cache_key(params: PrefilterParams) -> str:
     import hashlib
     s = (f"{params.kmer_size}|{params.spaced_pattern}|"
          f"{params.kmer_threshold()}|{int(params.mask)}|"
-         f"{params.seed_matrix}|v1")
+         f"{params.seed_matrix}|v2")
     return hashlib.sha256(s.encode()).hexdigest()[:16]
 
 
@@ -270,7 +287,7 @@ def save_target_index(index: TargetIndex, setdb_path: str,
     flat_masked, starts = index.packed_masked()
     np.save(os.path.join(d, "flat_masked.npy"), flat_masked)
     np.save(os.path.join(d, "starts.npy"), starts)
-    for name in ("codes", "post_seq", "post_pos", "uniq_codes",
+    for name in ("post_seq", "post_pos", "uniq_codes",
                  "uniq_start", "uniq_letters", "seq_lengths"):
         np.save(os.path.join(d, name + ".npy"), getattr(index, name))
     with open(os.path.join(d, "meta.json"), "w") as fh:
@@ -289,7 +306,7 @@ def load_target_index(setdb_path: str,
     with open(os.path.join(d, "meta.json")) as fh:
         meta = _json.load(fh)
     arr = {name: np.load(os.path.join(d, name + ".npy"), mmap_mode="r")
-           for name in ("flat_masked", "starts", "codes", "post_seq",
+           for name in ("flat_masked", "starts", "post_seq",
                         "post_pos", "uniq_codes", "uniq_start",
                         "uniq_letters", "seq_lengths")}
     starts = arr["starts"]
@@ -298,7 +315,7 @@ def load_target_index(setdb_path: str,
                    for i in range(len(starts) - 1)]
     return TargetIndex(
         seqs_masked=seqs_masked, seq_lengths=arr["seq_lengths"],
-        codes=arr["codes"], post_seq=arr["post_seq"],
+        post_seq=arr["post_seq"],
         post_pos=arr["post_pos"], uniq_codes=arr["uniq_codes"],
         uniq_start=arr["uniq_start"], uniq_letters=arr["uniq_letters"],
         db_residues=int(meta["db_residues"]),
@@ -306,18 +323,25 @@ def load_target_index(setdb_path: str,
     )
 
 
-def _finish_index(aa_seqs, masked_seqs, codes, post_seq, post_pos,
+_POSTINGS_SCRATCH = {"cap": 0}
+
+
+def _postings_scratch(cap: int):
+    """Grow-only scratch buffers for the native postings builder —
+    recycled so repeated index builds (easy-predict builds two) don't
+    re-pay first-touch page faults (pathological on this host class)."""
+    s = _POSTINGS_SCRATCH
+    if s["cap"] < cap:
+        s["code"] = np.empty(cap, dtype=np.int32)
+        s["seq"] = np.empty(cap, dtype=np.int32)
+        s["pos"] = np.empty(cap, dtype=np.int32)
+        s["cap"] = cap
+    return s["code"], s["seq"], s["pos"]
+
+
+def _finish_index(masked_seqs, post_seq, post_pos, uniq_codes, uniq_start,
                   params, db_residues, packed_masked=None) -> TargetIndex:
-    """Postings (already in final (code, seq) order) -> TargetIndex."""
-    if len(codes):
-        boundary = np.concatenate(
-            ([True], codes[1:] != codes[:-1]))
-        ustart = np.flatnonzero(boundary)
-        uniq_codes = codes[ustart]
-    else:
-        ustart = np.zeros(0, dtype=np.int64)
-        uniq_codes = np.zeros(0, dtype=np.int64)
-    uniq_start = np.concatenate([ustart, [len(codes)]]).astype(np.int64)
+    """CSR postings (final (code, seq) order) -> TargetIndex."""
     # decompose unique codes into letters
     k = params.kmer_size
     letters = np.zeros((len(uniq_codes), k), dtype=np.int8)
@@ -327,8 +351,8 @@ def _finish_index(aa_seqs, masked_seqs, codes, post_seq, post_pos,
         tmp //= 20
     idx = TargetIndex(
         seqs_masked=masked_seqs,
-        seq_lengths=np.array([len(s) for s in aa_seqs], dtype=np.int64),
-        codes=codes, post_seq=post_seq, post_pos=post_pos,
+        seq_lengths=np.array([len(s) for s in masked_seqs], dtype=np.int64),
+        post_seq=post_seq, post_pos=post_pos,
         uniq_codes=uniq_codes, uniq_start=uniq_start, uniq_letters=letters,
         db_residues=db_residues,
     )

@@ -210,21 +210,30 @@ def sw_allpairs_packed(prof, c1, c2, first, qoff, last, t_seqs, keep,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_qb * n_segs * nq_block, L),
                                        jnp.int32),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(bounds, prof, c1, c2, first, qoff, last, t_seqs, keep)
 
 
 def pack_query_rows(q_list, matrix_scores, bias_list=None,
                     gap_open: int = 16, gap_extend: int = 2,
-                    a_pad: int = 32, sq_block: int = 2048):
+                    a_pad: int = 32, sq_block: int = None):
     """Pack queries densely along the row axis into SQ_BLOCK-row groups.
 
     Queries fill each block greedily in order; a query never straddles
-    a block boundary. Returns dict with prof (bf16 [n_qb*SQ, a_pad]),
-    c1/c2/first/qoff (int32 [n_qb*SQ, 1]), last (int32 [n_qb*NQ, 1]),
-    qmap (int64 [n_qb*NQ], global query index per output row, -1 pad),
-    sq_block, nq_block, max_span, n_queries.
+    a block boundary. sq_block=None sizes a single block to the total
+    row count (rounded to the 8-sublane tile) when it fits the VMEM
+    budget, else falls back to 2048-row groups. Returns dict with prof
+    (bf16 [n_qb*SQ, a_pad]), c1/c2/first/qoff (int32 [n_qb*SQ, 1]),
+    last (int32 [n_qb*NQ, 1]), qmap (int64 [n_qb*NQ], global query
+    index per output row, -1 pad), sq_block, nq_block, max_span,
+    n_queries.
     """
+    if sq_block is None:
+        total = sum(len(q) for q in q_list)
+        sq_block = ((total + 7) // 8) * 8 if 0 < total <= 4096 else 2048
+        sq_block = max(sq_block, 8)
     blocks = []          # list of list[(global_qi, seq)]
     cur, cur_rows = [], 0
     for qi, q in enumerate(q_list):

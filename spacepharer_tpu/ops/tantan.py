@@ -226,8 +226,8 @@ def _mask_native(lib, seqs, ratios, x_index, min_mask_prob):
     n = len(seqs)
     offsets = np.zeros(n + 1, dtype=np.int64)
     np.cumsum([len(s) for s in seqs], out=offsets[1:])
-    flat = np.concatenate([np.asarray(s, dtype=np.int64) for s in seqs]) \
-        if n else np.zeros(0, dtype=np.int64)
+    flat = np.concatenate([np.asarray(s, dtype=np.uint8) for s in seqs]) \
+        if n else np.zeros(0, dtype=np.uint8)
     ratios_c = np.ascontiguousarray(ratios, dtype=np.float64)
     mask = np.zeros(len(flat), dtype=np.uint8)
     lib.tantan_mask_batch(

@@ -84,7 +84,7 @@ def test_build_postings_native_vs_numpy(monkeypatch):
     monkeypatch.setattr(nat, "get_lib", lambda: None)
     idx_numpy = pf.build_target_index(seqs, params)
 
-    for f in ["codes", "post_seq", "post_pos", "uniq_codes", "uniq_start",
+    for f in ["post_seq", "post_pos", "uniq_codes", "uniq_start",
               "uniq_letters"]:
         assert np.array_equal(getattr(idx_native, f), getattr(idx_numpy, f)), f
 
@@ -151,8 +151,8 @@ def test_prefilter_finalize_matches_python():
                 for i in range(n_targets)]
         index = pf.TargetIndex(
             seqs_masked=seqs, seq_lengths=tl.astype(np.int64),
-            codes=np.zeros(0, np.int64), post_seq=np.zeros(0, np.int32),
-            post_pos=np.zeros(0, np.int32), uniq_codes=np.zeros(0, np.int64),
+            post_seq=np.zeros(0, np.int32),
+            post_pos=np.zeros(0, np.uint16), uniq_codes=np.zeros(0, np.int64),
             uniq_start=np.zeros(1, np.int64),
             uniq_letters=np.zeros((0, 6), np.int8),
             db_residues=int(starts[-1]))

@@ -25,9 +25,12 @@ def main():
 
     seg_len = int(sys.argv[1]) if len(sys.argv) > 1 else 32
     depth_cap = int(sys.argv[2]) if len(sys.argv) > 2 else 4096
-    sq_block = int(sys.argv[3]) if len(sys.argv) > 3 else 2048
+    sq_block = int(sys.argv[3]) if len(sys.argv) > 3 else 0
     t_tile = int(sys.argv[4]) if len(sys.argv) > 4 else 128
+    dup = int(sys.argv[5]) if len(sys.argv) > 5 else 1
+    sq_block = sq_block or None
     qs, ts = build_workload()
+    ts = ts * dup     # production-scale target regime
     m = load_matrix("VTML40.out", 2.0)
     pack = pack_query_rows(qs, m.scores, sq_block=sq_block)
     tpack = pack_targets_segmented(ts, seg_len=seg_len, t_tile=t_tile,
@@ -43,6 +46,7 @@ def main():
     bdev = jax.device_put(jnp.asarray(tpack["bounds"]))
     max_span = pack["max_span"]
     nq_block = pack["nq_block"]
+    sq_block = pack["sq_block"]
 
     @jax.jit
     def chain(prof, c1, c2, first, qoff, last, t_seqs, keep, bounds, n):
