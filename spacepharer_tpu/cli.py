@@ -50,9 +50,14 @@ def _add_predict_flags(p):
     p.add_argument("--mask", type=int, default=1, choices=(0, 1))
     p.add_argument("--comp-bias-corr", type=int, default=1, choices=(0, 1))
     p.add_argument("--threads", type=int, default=0, help="0 = auto")
-    p.add_argument("--use-tpu", type=int, default=0, choices=(0, 1),
-                   help="bulk-score alignment candidates on the accelerator "
-                        "(pays off on large corpora; output-identical)")
+    p.add_argument("--use-tpu", type=int, default=-1, choices=(-1, 0, 1),
+                   help="score alignment candidates on the accelerator "
+                        "(-1 auto: on when a device is attached and the "
+                        "workload amortizes it; output-identical)")
+    p.add_argument("--shards", type=str, default=None, metavar="Q,T",
+                   help="device mesh for the scoring step, e.g. 2,4 = "
+                        "2 query shards x 4 target shards (output is "
+                        "byte-identical for any mesh shape)")
     p.add_argument("-v", "--verbosity", type=int, default=3,
                    help="0: quiet, 1: +errors, 2: +warnings, 3: +info")
     p.add_argument("--dump-stages", type=str, default=None,
@@ -91,7 +96,10 @@ def _predict_params(args) -> PredictParams:
         restrict_ranks_mode=bool(args.restrict_ranks_mode),
         rank_min_seq_ids=tuple(float(x) for x in
                                args.rank_min_seq_ids.split(",")),
-        threads=args.threads, use_tpu=bool(args.use_tpu))
+        threads=args.threads,
+        use_tpu=None if args.use_tpu < 0 else bool(args.use_tpu),
+        mesh=(tuple(int(x) for x in args.shards.split(","))
+              if getattr(args, "shards", None) else None))
 
 
 def _make_cache(tmp_dir, command, params, inputs, force_restart=False):

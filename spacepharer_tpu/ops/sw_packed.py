@@ -231,9 +231,13 @@ def pack_query_rows(q_list, matrix_scores, bias_list=None,
     n_queries.
     """
     if sq_block is None:
+        # canonical pow2 buckets so compiled kernels recycle across
+        # workloads (the relay's AOT compile costs minutes; the
+        # persistent XLA cache keys on exact shapes)
         total = sum(len(q) for q in q_list)
-        sq_block = ((total + 7) // 8) * 8 if 0 < total <= 4096 else 2048
-        sq_block = max(sq_block, 8)
+        sq_block = 512
+        while sq_block < min(max(total, 1), 2048):
+            sq_block *= 2
     blocks = []          # list of list[(global_qi, seq)]
     cur, cur_rows = [], 0
     for qi, q in enumerate(q_list):
@@ -242,7 +246,9 @@ def pack_query_rows(q_list, matrix_scores, bias_list=None,
             continue
         if n > sq_block:
             raise ValueError(f"query {qi} length {n} exceeds sq_block")
-        if cur_rows + n > sq_block:
+        # the 512-query cap bounds the harvest output block
+        # (n_segs * nq_block rows) within VMEM at canonical sizes
+        if cur_rows + n > sq_block or len(cur) >= 512:
             blocks.append(cur)
             cur, cur_rows = [], 0
         cur.append((qi, q))
@@ -250,8 +256,9 @@ def pack_query_rows(q_list, matrix_scores, bias_list=None,
     if cur or not blocks:
         blocks.append(cur)
     n_qb = len(blocks)
-    nq_block = max(8, max((len(b) for b in blocks), default=1))
-    nq_block = ((nq_block + 7) // 8) * 8
+    nq_block = 8
+    while nq_block < max((len(b) for b in blocks), default=1):
+        nq_block *= 2
 
     prof = np.full((n_qb * sq_block, a_pad), NEG, dtype=np.float32)
     c1 = np.full((n_qb * sq_block, 1), BIGNEG, dtype=np.int32)
@@ -311,7 +318,9 @@ def pack_targets_segmented(t_list, seg_len: int = 32, t_tile: int = 128,
     segs_per_t = np.maximum((lens + seg_len - 1) // seg_len, 1)
     total_segs = int(segs_per_t.sum())
     cap_segs = max(depth_cap // seg_len, 1)
-    n_lanes = t_tile * max(1, -(-total_segs // (cap_segs * t_tile)))
+    n_lanes = t_tile
+    while n_lanes * cap_segs < total_segs:   # pow2 lane buckets
+        n_lanes *= 2
     order = np.argsort(-lens, kind="stable")
     heap = [(0, lane) for lane in range(n_lanes)]
     heapq.heapify(heap)
@@ -324,8 +333,9 @@ def pack_targets_segmented(t_list, seg_len: int = 32, t_tile: int = 128,
         t_seg0[ti] = d
         lane_depth[lane] = d + segs_per_t[ti]
         heapq.heappush(heap, (int(lane_depth[lane]), lane))
-    n_segs = max(int(lane_depth.max(initial=1)), 1)
-    n_segs = ((n_segs + 7) // 8) * 8
+    n_segs = 8
+    while n_segs < int(lane_depth.max(initial=1)):
+        n_segs *= 2
     t_seqs = np.full((n_segs * seg_len, n_lanes), pad_letter,
                      dtype=np.int32)
     keep = np.zeros((n_segs, n_lanes), dtype=np.int32)
@@ -345,6 +355,38 @@ def pack_targets_segmented(t_list, seg_len: int = 32, t_tile: int = 128,
         "t_lane": t_lane, "t_seg": t_seg, "seg_len": seg_len,
         "n_segs": n_segs, "n_lanes": n_lanes,
     }
+
+
+def device_allpairs_scores(q_list, t_list, matrix_scores, bias_list=None,
+                           gap_open: int = 16, gap_extend: int = 2,
+                           t_chunk_residues: int = 8_000_000,
+                           interpret: bool = False) -> np.ndarray:
+    """[n_queries, n_targets] exact SW scores via the packed kernel.
+
+    The production entry for bulk scoring: queries pack once, targets
+    stream through the device in residue-bounded chunks (the HBM/
+    transfer analog of the reference's RAM-bounded target splits,
+    Prefiltering.h:43-49 setupSplit) — an arbitrarily large target side
+    never materializes on the device at once.
+    """
+    pack = pack_query_rows(q_list, matrix_scores, bias_list=bias_list,
+                           gap_open=gap_open, gap_extend=gap_extend)
+    n_t = len(t_list)
+    out = np.zeros((len(q_list), n_t), dtype=np.int32)
+    lo = 0
+    while lo < n_t:
+        hi = lo
+        res = 0
+        while hi < n_t and (res == 0 or res + len(t_list[hi])
+                            <= t_chunk_residues):
+            res += len(t_list[hi])
+            hi += 1
+        tpack = pack_targets_segmented(t_list[lo:hi])
+        out[:, lo:hi] = allpairs_scores(pack, tpack, gap_open=gap_open,
+                                        gap_extend=gap_extend,
+                                        interpret=interpret)
+        lo = hi
+    return out
 
 
 def allpairs_scores(pack, tpack, gap_open=16, gap_extend=2,

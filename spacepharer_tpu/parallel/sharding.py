@@ -103,6 +103,82 @@ def sw_score_allpairs(q_prof, q_len, t_seqs, t_len,
     return best
 
 
+def sharded_search_pipeline(mesh: Mesh, top_k: int, n_sets: int):
+    """Jitted full sharded search step: per-shard all-pairs SW, global
+    top-k merge over the ``t`` axis (the reference's per-split result
+    merge, Prefiltering.h:49 mergeTargetSplits, as an on-device
+    collective), and best-hit-per-target-set aggregation (multihit/
+    besthitperset.cpp as segment_max + pmax).
+
+    step(q_prof, q_len, t_seqs, t_len, set_of_t) ->
+      (top_scores [Q, k], top_idx [Q, k] global target ids,
+       best_per_set [Q, n_sets]).
+    """
+    from jax.experimental.shard_map import shard_map
+
+    def local_step(q_prof, q_len, t_seqs, t_len, set_of_t):
+        scores = sw_score_allpairs(q_prof, q_len, t_seqs, t_len, 16, 2)
+        t_local = t_seqs.shape[0]
+        sc, idx = jax.lax.top_k(scores, top_k)
+        idx = idx + jax.lax.axis_index("t") * t_local
+        sc_all = jax.lax.all_gather(sc, "t", axis=1, tiled=True)
+        idx_all = jax.lax.all_gather(idx, "t", axis=1, tiled=True)
+        sc2, pos = jax.lax.top_k(sc_all, top_k)
+        idx2 = jnp.take_along_axis(idx_all, pos, axis=1)
+        best_set = jax.ops.segment_max(
+            scores.T, set_of_t, num_segments=n_sets,
+            indices_are_sorted=False).T          # [Q_local, n_sets]
+        best_set = jnp.maximum(best_set, 0)
+        best_set = jax.lax.pmax(best_set, "t")
+        return sc2, idx2, best_set
+
+    f = shard_map(
+        local_step, mesh=mesh,
+        in_specs=(P("q", None, None), P("q"), P("t", None), P("t"),
+                  P("t")),
+        out_specs=(P("q", None), P("q", None), P("q", None)),
+        check_rep=False)
+    return jax.jit(f)
+
+
+def sharded_allpairs_scores(mesh: Mesh, q_list, t_list, matrix_scores,
+                            bias_list=None, gap_open: int = 16,
+                            gap_extend: int = 2) -> np.ndarray:
+    """All-pairs SW scores [Q, T] over a (q, t) device mesh.
+
+    Query rows ride the ``q`` axis (data parallel over spacer ORFs, the
+    reference's query-split/MPI-rank unit) and the target DB shards
+    over ``t`` (the target-split analog, Prefiltering.h:43-49); every
+    device scores its (query block x target shard) rectangle locally,
+    no cross-device traffic beyond the sharded output. Cells are exact
+    vs the host engine, so the downstream pipeline is byte-identical
+    regardless of mesh shape.
+    """
+    from jax.experimental.shard_map import shard_map
+
+    nq_sh, nt_sh = mesh.devices.shape
+    lq = max(8, ((max((len(q) for q in q_list), default=1) + 7) // 8) * 8)
+    lt = max(8, ((max((len(t) for t in t_list), default=1) + 7) // 8) * 8)
+    Q = -(-len(q_list) // nq_sh) * nq_sh
+    T = -(-len(t_list) // nt_sh) * nt_sh
+    q_pad = list(q_list) + [np.zeros(0, np.int64)] * (Q - len(q_list))
+    t_pad = list(t_list) + [np.zeros(0, np.int64)] * (T - len(t_list))
+    if bias_list is not None:
+        bias_list = list(bias_list) + [np.zeros(0)] * (Q - len(q_list))
+    q_prof, q_len = pack_queries(q_pad, matrix_scores, lq,
+                                 bias_list=bias_list)
+    t_seqs, t_len = pack_targets(t_pad, lt, x_index=20)
+
+    f = shard_map(
+        partial(sw_score_allpairs, gap_open=gap_open,
+                gap_extend=gap_extend),
+        mesh=mesh,
+        in_specs=(P("q", None, None), P("q"), P("t", None), P("t")),
+        out_specs=P("q", "t"), check_rep=False)
+    scores = jax.jit(f)(q_prof, q_len, t_seqs, t_len)
+    return np.asarray(scores)[:len(q_list), :len(t_list)]
+
+
 def pack_queries(q_list, matrix_scores, lq, bias_list=None):
     """Queries -> per-position profiles [Q, LQ, A] (int32) + lengths."""
     A = matrix_scores.shape[0]

@@ -42,7 +42,12 @@ class PredictParams:
     restrict_ranks_mode: bool = True
     rank_min_seq_ids: tuple = (0.86, 0.84, 0.82, 0.80, 0.78, 0.76, 0.74, 0.72)
     threads: int = 0  # 0 = all cores; 1 = sequential
-    use_tpu: bool = False  # bulk-score candidates on the accelerator
+    # None = auto: the accelerator is the default scoring engine when
+    # one is attached and the workload amortizes transfer + compile
+    use_tpu: Optional[bool] = None
+    # (q_shards, t_shards) device mesh for the scoring step; None =
+    # single device. Any shape yields byte-identical output.
+    mesh: Optional[tuple] = None
 
 
 _worker_fn = None
@@ -109,9 +114,18 @@ def search_setdbs(query_db: SetDB, target_db: SetDB,
     n_threads = params.threads if params.threads > 0 else (os.cpu_count() or 1)
     keys = list(range(query_db.n_orfs))
     prot = {}
-    if params.use_tpu:
+    use_tpu = params.use_tpu
+    if use_tpu is None:
+        # auto: the accelerator is the default engine when one is
+        # attached and the scoring workload is large enough to amortize
+        # transfers + (first-time) kernel compilation; an explicit mesh
+        # always routes through the device engine
+        use_tpu = (params.mesh is not None
+                   or (_accelerator_present()
+                       and len(keys) * index.db_residues > 5e9))
+    if use_tpu:
         prot = _search_tpu(query_db, keys, t_aa, index, enumerator, m40,
-                           evaluer, params)
+                           evaluer, params, bias80_all)
     elif (n_threads > 1 and len(keys) > 16
           and len(keys) * index.db_residues > 2e10):
         # fork only when the work outweighs the COW page-fault cost of
@@ -150,40 +164,80 @@ def search_setdbs(query_db: SetDB, target_db: SetDB,
     return combine_prot_nucl(prot, nucl)
 
 
+def _accelerator_present() -> bool:
+    try:
+        import jax
+        return jax.default_backend() not in ("cpu",)
+    except Exception:  # noqa: BLE001 - no jax / no device = host engine
+        return False
+
+
 def _search_tpu(query_db, keys, t_aa, index, enumerator, m40, evaluer,
-                params):
-    """Prefilter all queries, bulk-score candidate pairs on the
-    accelerator, then run the exact host alignment only on E-value
-    survivors (output-identical to the host path)."""
+                params, bias80_all):
+    """Device scoring engine: prefilter on host (order-dependent
+    integer heuristics, QueryMatcher.cpp:84-323), then bulk-score every
+    (query x candidate-target) cell on the accelerator in one packed
+    dispatch, and run the exact host alignment only on E-value
+    survivors — output-identical to the host path (the device scores
+    are cell-exact, tests/test_sw_packed.py)."""
     from ..ops.align import sw_bias_i8, sw_align, check_criteria
-    from ..ops.sw_tpu import score_pairs_bucketed
 
     q_seqs = {}
     biases = {}
     cand = {}
-    pairs = []
+    union = set()
     for qkey in keys:
         q = encode_aa(query_db.orf_aa(qkey).tobytes())
         q_seqs[qkey] = q
         biases[qkey] = (sw_bias_i8(q, m40) if params.align.comp_bias_corr
                         else np.zeros(len(q), dtype=np.int64))
         hits = prefilter_query(q, index, params.prefilter,
-                               enumerator=enumerator)
+                               enumerator=enumerator,
+                               bias80=bias80_all[qkey])
         cand[qkey] = [h.target for h in hits]
-        pairs.extend((qkey, t) for t in cand[qkey])
+        union.update(cand[qkey])
 
-    scores = score_pairs_bucketed(
-        pairs, q_seqs, t_aa, m40.scores, biases,
-        params.align.gap_open, params.align.gap_extend)
-    surv = {}
-    for (qkey, t), sc in zip(pairs, scores):
-        if float(evaluer.evalue(int(sc), len(q_seqs[qkey]))) <= params.align.evalue:
-            surv.setdefault(qkey, []).append(t)
-
+    union = sorted(union)
+    col_of = {t: j for j, t in enumerate(union)}
+    if union:
+        if params.mesh is not None:
+            from ..parallel.sharding import (make_mesh,
+                                             sharded_allpairs_scores)
+            import jax
+            nq_sh, nt_sh = params.mesh
+            mesh = make_mesh(nq_sh, nt_sh,
+                             devices=jax.devices()[:nq_sh * nt_sh])
+            scores = sharded_allpairs_scores(
+                mesh, [q_seqs[k] for k in keys], [t_aa[t] for t in union],
+                m40.scores, bias_list=[biases[k] for k in keys],
+                gap_open=params.align.gap_open,
+                gap_extend=params.align.gap_extend)
+        elif _accelerator_present():
+            from ..ops.sw_packed import device_allpairs_scores
+            scores = device_allpairs_scores(
+                [q_seqs[k] for k in keys], [t_aa[t] for t in union],
+                m40.scores, bias_list=[biases[k] for k in keys],
+                gap_open=params.align.gap_open,
+                gap_extend=params.align.gap_extend)
+        else:
+            # no device: bucketed XLA-scan scorer (same exact scores)
+            from ..ops.sw_tpu import score_pairs_bucketed
+            pairs = [(k, t) for k in keys for t in cand[k]]
+            flat = score_pairs_bucketed(
+                pairs, q_seqs, t_aa, m40.scores, biases,
+                params.align.gap_open, params.align.gap_extend)
+            qrow = {k: i for i, k in enumerate(keys)}
+            scores = np.zeros((len(keys), len(union)), dtype=np.int64)
+            for (k, t), sc in zip(pairs, flat):
+                scores[qrow[k], col_of[t]] = sc
     prot = {}
-    for qkey in keys:
+    for qi, qkey in enumerate(keys):
         out = []
-        for t in surv.get(qkey, []):
+        for t in cand[qkey]:
+            sc = int(scores[qi, col_of[t]])
+            if float(evaluer.evalue(sc, len(q_seqs[qkey]))) \
+                    > params.align.evalue:
+                continue
             res = sw_align(q_seqs[qkey], t_aa[t], m40, params.align, evaluer,
                            biases[qkey])
             if res is None:

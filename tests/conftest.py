@@ -25,6 +25,12 @@ TESTS_DIR = os.path.dirname(os.path.abspath(__file__))
 EXAMPLES = "/root/reference/examples"
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "tpu: gated real-hardware tests "
+        "(SPACEPHARER_TPU_TESTS=1 to enable)")
+
+
 @pytest.fixture(scope="session")
 def golden(tmp_path_factory):
     """Unpack the reference-produced golden run (tests/golden_run.tar.gz).

@@ -110,3 +110,15 @@ def test_predictmatch_use_tpu_output_identical(dbs, golden):
     res = predict_match(qdb, tdb, cdb, PredictParams(use_tpu=True))
     with open(os.path.join(golden, "result.tsv")) as fh:
         assert res.text == fh.read()
+
+
+@pytest.mark.parametrize("mesh", [(1, 8), (2, 4), (4, 2)])
+def test_predictmatch_mesh_shapes_byte_identical(dbs, golden, mesh):
+    """The sharded scoring engine yields byte-identical result.tsv for
+    every (q, t) mesh shape — the split-invariance the reference's
+    target-split merge guarantees (Prefiltering.h:43-49), here on the
+    8-device virtual CPU mesh."""
+    qdb, tdb, cdb = dbs
+    res = predict_match(qdb, tdb, cdb, PredictParams(mesh=mesh))
+    with open(os.path.join(golden, "result.tsv")) as fh:
+        assert res.text == fh.read()
