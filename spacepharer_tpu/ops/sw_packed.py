@@ -95,8 +95,7 @@ def _kernel(bounds_ref, prof_ref, c1_ref, c2_ref, first_ref, qoff_ref,
     # constants of the per-segment harvest
     last = last_ref[:]                       # [NQ, 1] int32, -1 = pad slot
     iota_r = jax.lax.broadcasted_iota(jnp.int32, (nq, sq), 1)
-    sel = (iota_r == last).astype(jnp.float32)
-    qbias = jax.lax.broadcasted_iota(jnp.int32, (nq, t_tile), 0) * BIG
+    sel = (iota_r == last).astype(jnp.bfloat16)
 
     out_ref[:] = jnp.zeros((n_segs * nq, t_tile), jnp.int32)
 
@@ -142,10 +141,19 @@ def _kernel(bounds_ref, prof_ref, c1_ref, c2_ref, first_ref, qoff_ref,
                     [jnp.full((shift, t_tile), BIGNEG, jnp.int32),
                      g[:-shift, :]], axis=0))
             shift *= 2
-        picked = jax.lax.dot_general(
-            sel, g.astype(jnp.float32), (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(jnp.int32)
-        out_ref[pl.ds(s * nq, nq), :] = picked - qbias
+        # one-hot row selection on the MXU must be value-exact: a real
+        # TPU f32 matmul truncates inputs to bf16 at default precision,
+        # so the selected value (a score in [0, BIG)) is split into two
+        # bf16-exact base-128 halves and recombined after selection
+        v = g - qoff                         # selected rows: the score
+        hi = (v >> 7).astype(jnp.bfloat16)
+        lo = (v & 127).astype(jnp.bfloat16)
+        pick = lambda x: jax.lax.dot_general(   # noqa: E731
+            sel, x, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        picked = pick(hi).astype(jnp.int32) * 128 \
+            + pick(lo).astype(jnp.int32)
+        out_ref[pl.ds(s * nq, nq), :] = picked
         return H, E, best
 
     z = jnp.zeros((sq, t_tile), jnp.int32)
