@@ -54,6 +54,11 @@ def _add_predict_flags(p):
                    help="score alignment candidates on the accelerator "
                         "(-1 auto: on when a device is attached and the "
                         "workload amortizes it; output-identical)")
+    p.add_argument("--split-memory-limit", type=int, default=0,
+                   metavar="MB",
+                   help="RAM budget for the target k-mer index; above "
+                        "it the target DB streams through splits with a "
+                        "per-query hit merge (0 = monolithic)")
     p.add_argument("--shards", type=str, default=None, metavar="Q,T",
                    help="device mesh for the scoring step, e.g. 2,4 = "
                         "2 query shards x 4 target shards (output is "
@@ -86,7 +91,8 @@ def _predict_params(args) -> PredictParams:
             kmer_size=args.kmer_size, spaced_pattern=args.spaced_kmer_pattern,
             sensitivity=args.sensitivity, max_seqs=args.max_seqs,
             min_diag_score=args.min_ungapped_score, mask=bool(args.mask),
-            comp_bias_corr=bool(args.comp_bias_corr)),
+            comp_bias_corr=bool(args.comp_bias_corr),
+            split_memory_limit=args.split_memory_limit),
         align=AlnParams(gap_open=args.gap_open, gap_extend=args.gap_extend,
                         evalue=args.evalue,
                         comp_bias_corr=bool(args.comp_bias_corr)),

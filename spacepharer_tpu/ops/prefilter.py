@@ -37,6 +37,11 @@ class PrefilterParams:
     seed_matrix: str = "VTML80.out"
     ungapped_matrix: str = "VTML40.out"
     kmer_score: Optional[int] = None  # override kmer threshold
+    # RAM budget (MB) for the target index; 0 = monolithic. When the
+    # estimated index exceeds it, the target DB streams through
+    # RAM-bounded splits with a per-query hit merge (the setupSplit /
+    # mergeTargetSplits analog, Prefiltering.cpp:258, Prefiltering.h:49)
+    split_memory_limit: int = 0
 
     @property
     def offsets(self) -> np.ndarray:
@@ -500,13 +505,29 @@ class PrefilterHit:
     diagonal: int  # signed short semantics
 
 
+def ungapped_profile_cap(q_num, bias80, ungapped_m):
+    """(profile, cap) of the ungapped rescoring stage: VTML40x2 + aaCorr
+    profile and the u8 saturation cap (UngappedAlignment byte kernel)."""
+    aa_corr = round_half_away(np.asarray(bias80) / 4.0)
+    profile = ungapped_m.scores[q_num].astype(np.int64) + aa_corr[:, None]
+    sub_min = int(ungapped_m.scores.min())
+    u_bias = abs(sub_min) + abs(int(min(aa_corr.min(initial=0), 0)))
+    return profile, 255 - u_bias
+
+
 def prefilter_query(q_num: np.ndarray, index: TargetIndex,
                     params: PrefilterParams,
                     seed_m: Optional[ScoringMatrix] = None,
                     ungapped_m: Optional[ScoringMatrix] = None,
                     enumerator: Optional[SimilarKmerEnumerator] = None,
-                    bias80: Optional[np.ndarray] = None) -> list:
-    """Match one query ORF; returns hits sorted like the reference rows."""
+                    bias80: Optional[np.ndarray] = None,
+                    collect_all: bool = False) -> list:
+    """Match one query ORF; returns hits sorted like the reference rows.
+
+    collect_all=True keeps every per-target result at or above
+    min_diag_score without the max_seqs histogram cut — the per-split
+    hit list that merge_split_hits() k-way-merges into the global list
+    (the reference's mergeTargetSplits role, Prefiltering.h:49)."""
     seed_m = seed_m or load_matrix(params.seed_matrix, 8.0)
     ungapped_m = ungapped_m or load_matrix(params.ungapped_matrix, 2.0)
     offsets = params.offsets
@@ -575,18 +596,44 @@ def prefilter_query(q_num: np.ndarray, index: TargetIndex,
     m_d = np.concatenate(m_d_parts)
 
     # ungapped rescoring profile: VTML40x2 + aaCorr (bias80/4 rounded)
-    aa_corr = round_half_away(bias80 / 4.0)
-    profile = ungapped_m.scores[q_num].astype(np.int64) + aa_corr[:, None]
-    # cap semantics (UngappedAlignment byte saturation)
-    sub_min = int(ungapped_m.scores.min())
-    u_bias = abs(sub_min) + abs(int(min(aa_corr.min(initial=0), 0)))
-    cap = 255 - u_bias
+    profile, cap = ungapped_profile_cap(q_num, bias80, ungapped_m)
+    if collect_all:
+        from dataclasses import replace
+        params = replace(params, max_seqs=1 << 30)
 
     from ..native import get_lib
     lib = get_lib()
     if lib is not None:
         return _finalize_native(lib, m_t, m_d, index, profile, cap, params)
     return _finalize_py(m_t, m_d, index, profile, cap, params)
+
+
+def merge_split_hits(hits: list, cap: int,
+                     params: PrefilterParams) -> list:
+    """Merge per-split collect_all hit lists into the global hit list.
+
+    Reproduces the monolithic finalize's selection: histogram of capped
+    scores -> max_seqs threshold -> (score desc, target asc) order ->
+    truncate (QueryMatcher.h:199-209 + compareHitsByScoreAndId). Hits
+    must carry GLOBAL target ids; per-target entries are unique across
+    splits. Exactness caveat (shared with the reference's split mode):
+    the dup filter's cross-bin state leak sees only its own split's
+    match stream, so leak-edge tie cases can differ from a monolithic
+    run."""
+    hist = np.zeros(256, dtype=np.int64)
+    for h in hits:
+        hist[min(min(h.score, cap), 255)] += 1
+    found = 0
+    thr_score = 0
+    for s in range(255, 0, -1):
+        found += hist[s]
+        if found >= params.max_seqs:
+            thr_score = s
+            break
+    thr = max(params.min_diag_score, thr_score)
+    out = [h for h in hits if min(h.score, cap) >= thr]
+    out.sort(key=lambda h: (-abs(h.score), h.target))
+    return out[:params.max_seqs]
 
 
 def _finalize_native(lib, m_t, m_d, index: TargetIndex, profile, cap,

@@ -33,6 +33,15 @@ CATALOGS = {
 }
 
 
+def _resolve(url: str) -> str:
+    """SPACEPHARER_DB_MIRROR rebases catalog URLs onto a mirror (any
+    scheme urllib accepts, incl. file:// for offline use/tests)."""
+    mirror = os.environ.get("SPACEPHARER_DB_MIRROR")
+    if mirror:
+        return mirror.rstrip("/") + "/" + url.rsplit("/", 1)[1]
+    return url
+
+
 def download_db(name: str, out_db: str, tmp_dir: str,
                 reverse_setdb: bool = True) -> int:
     os.makedirs(tmp_dir, exist_ok=True)
@@ -42,9 +51,9 @@ def download_db(name: str, out_db: str, tmp_dir: str,
         info = CATALOGS[name]
         tarball = os.path.join(tmp_dir, name + ".tar.gz")
         if not os.path.exists(tarball):
-            print(f"Downloading {info['url']} ...")
+            print(f"Downloading {_resolve(info['url'])} ...")
             try:
-                urllib.request.urlretrieve(info["url"], tarball)
+                urllib.request.urlretrieve(_resolve(info["url"]), tarball)
             except Exception as e:  # noqa: BLE001
                 print(f"Download failed ({e}). This environment may have no "
                       "network access; fetch the tarball manually into "
@@ -62,7 +71,8 @@ def download_db(name: str, out_db: str, tmp_dir: str,
             tax_file = os.path.join(tmp_dir, name + ".tsv")
             if not os.path.exists(tax_file):
                 try:
-                    urllib.request.urlretrieve(info["tax"], tax_file)
+                    urllib.request.urlretrieve(_resolve(info["tax"]),
+                                               tax_file)
                 except Exception:  # noqa: BLE001
                     tax_file = None
     elif name.endswith(".tsv"):

@@ -65,13 +65,15 @@ def search_setdbs(query_db: SetDB, target_db: SetDB,
 
     t_flat, t_off = target_db.orf_aa_encoded()
     t_aa = [t_flat[t_off[i]:t_off[i + 1]] for i in range(target_db.n_orfs)]
+    limit_b = params.prefilter.split_memory_limit << 20
+    split_mode = bool(limit_b) and int(t_off[-1]) * 16 > limit_b
     index = None
-    if target_db.path:
+    if target_db.path and not split_mode:
         from ..ops.prefilter import load_target_index
         index = load_target_index(target_db.path, params.prefilter)
         if index is not None:
             log(2, f"using persisted index in {target_db.path}")
-    if index is None:
+    if index is None and not split_mode:
         index = build_target_index(t_aa, params.prefilter,
                                    packed=(t_flat, t_off))
         if target_db.path and os.access(target_db.path, os.W_OK):
@@ -114,6 +116,12 @@ def search_setdbs(query_db: SetDB, target_db: SetDB,
     n_threads = params.threads if params.threads > 0 else (os.cpu_count() or 1)
     keys = list(range(query_db.n_orfs))
     prot = {}
+    if split_mode:
+        log(2, "RAM-bounded target splits "
+               f"(limit {params.prefilter.split_memory_limit} MB)")
+        prot = _search_split(t_aa, (t_flat, t_off), params, m40,
+                             enumerator, evaluer, bias80_all, q_all, keys)
+        return _nucl_merge(prot, query_db, target_db, params)
     use_tpu = params.use_tpu
     if use_tpu is None:
         # auto: the accelerator is the default engine when one is
@@ -148,6 +156,13 @@ def search_setdbs(query_db: SetDB, target_db: SetDB,
         for qkey in keys:
             prot[qkey] = _one_query(qkey)
 
+    return _nucl_merge(prot, query_db, target_db, params)
+
+
+def _nucl_merge(prot: dict, query_db: SetDB, target_db: SetDB,
+                params: PredictParams) -> dict:
+    """Optional nucleotide re-alignment merge (proteinaln2nucl +
+    combineprotnuclaln, data/predictmatch.sh:37-45)."""
     if not params.perform_nucl_aln:
         return prot
 
@@ -162,6 +177,58 @@ def search_setdbs(query_db: SetDB, target_db: SetDB,
     nucl = protein_aln_to_nucl(prot, q_nucl, t_nucl, nucl_ev,
                                params.nucl_gap_open, params.nucl_gap_extend)
     return combine_prot_nucl(prot, nucl)
+
+
+def _search_split(t_aa, packed, params, m40, enumerator, evaluer,
+                  bias80_all, q_all, keys):
+    """RAM-bounded target-split search: the target DB streams through
+    index shards sized to the split-memory limit; per-query collect_all
+    hit lists merge into the global list before alignment. The
+    setupSplit / mergeTargetSplits analog (Prefiltering.cpp:258,
+    Prefiltering.h:49)."""
+    from ..ops.prefilter import (PrefilterHit, merge_split_hits,
+                                 ungapped_profile_cap)
+
+    t_flat, t_off = packed
+    limit_b = params.prefilter.split_memory_limit << 20
+    chunk_res = max(limit_b // 16, 1 << 18)
+    bounds = [0]
+    acc = 0
+    for i, t in enumerate(t_aa):
+        acc += len(t)
+        if acc >= chunk_res:
+            bounds.append(i + 1)
+            acc = 0
+    if bounds[-1] != len(t_aa):
+        bounds.append(len(t_aa))
+    log(2, f"target split mode: {len(bounds) - 1} shards")
+
+    all_hits = {k: [] for k in keys}
+    for ci in range(len(bounds) - 1):
+        lo, hi = bounds[ci], bounds[ci + 1]
+        sub_starts = np.ascontiguousarray(t_off[lo:hi + 1] - t_off[lo],
+                                          dtype=np.int64)
+        sub_flat = t_flat[t_off[lo]:t_off[hi]]
+        index = build_target_index(t_aa[lo:hi], params.prefilter,
+                                   packed=(sub_flat, sub_starts))
+        for k in keys:
+            hits = prefilter_query(q_all[k], index, params.prefilter,
+                                   enumerator=enumerator,
+                                   bias80=bias80_all[k], collect_all=True)
+            all_hits[k].extend(
+                PrefilterHit(h.target + lo, h.score, h.diagonal)
+                for h in hits)
+        del index
+
+    ungapped_m = load_matrix(params.prefilter.ungapped_matrix, 2.0)
+    prot = {}
+    for k in keys:
+        _, cap = ungapped_profile_cap(q_all[k], bias80_all[k], ungapped_m)
+        merged = merge_split_hits(all_hits[k], cap, params.prefilter)
+        results = align_query(q_all[k], [h.target for h in merged], t_aa,
+                              m40, params.align, evaluer)
+        prot[k] = [r.row_fields() for r in results]
+    return prot
 
 
 def _accelerator_present() -> bool:
