@@ -44,8 +44,17 @@ def _add_predict_flags(p):
     p.add_argument("--spaced-kmer-pattern", type=str, default="11011101")
     p.add_argument("--max-seqs", type=int, default=1500)
     p.add_argument("-e", "--evalue", type=float, default=200.0)
-    p.add_argument("--gap-open", type=int, default=16)
-    p.add_argument("--gap-extend", type=int, default=2)
+    p.add_argument("--gap-open", type=str, default="16,nucl:10",
+                   help="gap open cost; MultiParam aa/nucl syntax "
+                        "accepted: '16', 'aa:16', '16,nucl:10'")
+    p.add_argument("--gap-extend", type=str, default="2,nucl:2",
+                   help="gap extension cost (MultiParam syntax as "
+                        "--gap-open)")
+    p.add_argument("--start-sens", type=float, default=4.0,
+                   help="first sensitivity of the iterative search")
+    p.add_argument("--sens-steps", type=int, default=1,
+                   help="number of sensitivity steps from --start-sens "
+                        "to -s (queries with >= 2 alignments stop early)")
     p.add_argument("--min-ungapped-score", type=int, default=15)
     p.add_argument("--mask", type=int, default=1, choices=(0, 1))
     p.add_argument("--comp-bias-corr", type=int, default=1, choices=(0, 1))
@@ -85,17 +94,39 @@ def _add_createsetdb_flags(p):
     p.add_argument("--max-length", type=int, default=32734)
 
 
+def parse_multiparam(value, default_aa: int, default_nucl: int):
+    """MultiParam<T> aa/nucl dual values (lib/mmseqs/src/commons/
+    MultiParam.h): '16', 'aa:16', 'nucl:10', '16,nucl:10' or any
+    comma-combination; an unprefixed number sets the aa value."""
+    aa, nucl = default_aa, default_nucl
+    for part in str(value).split(","):
+        part = part.strip()
+        if not part:
+            continue
+        if part.startswith("aa:"):
+            aa = int(part[3:])
+        elif part.startswith("nucl:"):
+            nucl = int(part[5:])
+        else:
+            aa = int(part)
+    return aa, nucl
+
+
 def _predict_params(args) -> PredictParams:
+    go_aa, go_nucl = parse_multiparam(args.gap_open, 16, 10)
+    ge_aa, ge_nucl = parse_multiparam(args.gap_extend, 2, 2)
     return PredictParams(
         prefilter=PrefilterParams(
             kmer_size=args.kmer_size, spaced_pattern=args.spaced_kmer_pattern,
             sensitivity=args.sensitivity, max_seqs=args.max_seqs,
             min_diag_score=args.min_ungapped_score, mask=bool(args.mask),
             comp_bias_corr=bool(args.comp_bias_corr),
-            split_memory_limit=args.split_memory_limit),
-        align=AlnParams(gap_open=args.gap_open, gap_extend=args.gap_extend,
+            split_memory_limit=args.split_memory_limit,
+            start_sens=args.start_sens, sens_steps=args.sens_steps),
+        align=AlnParams(gap_open=go_aa, gap_extend=ge_aa,
                         evalue=args.evalue,
                         comp_bias_corr=bool(args.comp_bias_corr)),
+        nucl_gap_open=go_nucl, nucl_gap_extend=ge_nucl,
         fdr=args.fdr, tax_fdr=args.tax_fdr, fmt=args.fmt,
         report_fdr=bool(args.report_fdr), report_pam=bool(args.report_pam),
         perform_nucl_aln=bool(args.perform_nucl_aln),
@@ -314,6 +345,9 @@ def cmd_multihitsearch(argv):
     p.add_argument("tmpDir")
     p.add_argument("-e", "--evalue", type=float, default=100.0)
     p.add_argument("-s", "--sensitivity", type=float, default=5.7)
+    p.add_argument("--start-sens", type=float, default=4.0)
+    p.add_argument("--sens-steps", type=int, default=1,
+                   help="iterative search steps (blastp.sh STEPS loop)")
     p.add_argument("--max-seqs", type=int, default=1500)
     p.add_argument("--threads", type=int, default=0)
     p.add_argument("--simple-best-hit", type=int, default=1, choices=(0, 1))
@@ -326,6 +360,8 @@ def cmd_multihitsearch(argv):
     os.makedirs(args.tmpDir, exist_ok=True)
     pp = PredictParams(threads=args.threads, perform_nucl_aln=False)
     pp.prefilter.sensitivity = args.sensitivity
+    pp.prefilter.start_sens = args.start_sens
+    pp.prefilter.sens_steps = args.sens_steps
     pp.prefilter.max_seqs = args.max_seqs
     pp.align.evalue = args.evalue
     result = search_setdbs(qdb, tdb, pp)

@@ -265,10 +265,15 @@ def _assemble(contigs, accs, headers, c2s, set_names, spacer_mode,
         if len(orfs.strand) == 0:
             return None
         # strand sequences computed once per contig (Orf::setSequence);
-        # ORF nucls are gathered from this buffer in one pass below
-        seq = contig.copy()
-        seq[seq == ord("U")] = ord("T")
-        seq[seq == ord("u")] = ord("t")
+        # ORF nucls are gathered from this buffer in one pass below.
+        # U residues are rare — copy only when the substitution applies
+        u_mask = (contig == ord("U")) | (contig == ord("u"))
+        if u_mask.any():
+            seq = contig.copy()
+            seq[contig == ord("U")] = ord("T")
+            seq[contig == ord("u")] = ord("t")
+        else:
+            seq = contig
         rc = revcomp_ascii(seq) if bool((orfs.strand < 0).any()) else None
         return orfs, seq, rc
 
@@ -362,4 +367,4 @@ def _flat(parts):
         return np.zeros(0, dtype=np.uint8), np.zeros(1, dtype=np.int64)
     offsets = np.zeros(len(parts) + 1, dtype=np.int64)
     np.cumsum([len(p) for p in parts], out=offsets[1:])
-    return np.concatenate(parts).astype(np.uint8), offsets
+    return np.concatenate(parts, dtype=np.uint8), offsets

@@ -42,6 +42,12 @@ class PrefilterParams:
     # RAM-bounded splits with a per-query hit merge (the setupSplit /
     # mergeTargetSplits analog, Prefiltering.cpp:258, Prefiltering.h:49)
     split_memory_limit: int = 0
+    # iterative sensitivity search (blastp.sh:24-99 STEPS loop /
+    # Search.cpp --start-sens/--sens-steps): step sensitivities run
+    # from start_sens to sensitivity; queries with >= 2 alignments
+    # stop early, stragglers continue to the next (more sensitive) step
+    start_sens: float = 4.0
+    sens_steps: int = 1
 
     @property
     def offsets(self) -> np.ndarray:

@@ -58,10 +58,40 @@ def _run_chunk(chunk):
 
 
 def search_setdbs(query_db: SetDB, target_db: SetDB,
-                  params: PredictParams) -> dict:
+                  params: PredictParams, keys=None) -> dict:
     """Translated search: prefilter + SW on AA ORFs; optional nucleotide
-    re-alignment merge. Returns {query_orf_key: 11-col text rows}."""
+    re-alignment merge. Returns {query_orf_key: 11-col text rows}.
+
+    sens_steps > 1 runs the iterative sensitivity loop of the generic
+    search workflow (blastp.sh:24-99): each step searches the remaining
+    queries at the next sensitivity (start_sens -> sensitivity), rows
+    concatenate per query (mergedbs semantics), and queries reaching
+    >= 2 alignments stop early. SpacePHARER's own operating point is
+    STEPS=1, which keeps the byte-parity path untouched."""
+    from dataclasses import replace
     from ..ops.prefilter import SimilarKmerEnumerator
+
+    if params.prefilter.sens_steps > 1 and keys is None:
+        senses = np.linspace(params.prefilter.start_sens,
+                             params.prefilter.sensitivity,
+                             params.prefilter.sens_steps)
+        active = list(range(query_db.n_orfs))
+        merged = {k: [] for k in active}
+        for si, sens in enumerate(senses):
+            p1 = replace(params,
+                         prefilter=replace(params.prefilter,
+                                           sensitivity=float(sens),
+                                           sens_steps=1),
+                         perform_nucl_aln=False)
+            log(2, f"sensitivity step {si + 1}/{len(senses)}: "
+                   f"-s {sens:.2f}, {len(active)} queries")
+            rows = search_setdbs(query_db, target_db, p1, keys=active)
+            for k in active:
+                merged[k].extend(rows[k])
+            active = [k for k in active if len(rows[k]) < 2]
+            if not active:
+                break
+        return _nucl_merge(merged, query_db, target_db, params)
 
     t_flat, t_off = target_db.orf_aa_encoded()
     t_aa = [t_flat[t_off[i]:t_off[i + 1]] for i in range(target_db.n_orfs)]
