@@ -72,6 +72,9 @@ def _add_predict_flags(p):
                    help="device mesh for the scoring step, e.g. 2,4 = "
                         "2 query shards x 4 target shards (output is "
                         "byte-identical for any mesh shape)")
+    p.add_argument("--trace-dir", type=str, default=None,
+                   help="write a jax.profiler trace of the search stage "
+                        "(view with tensorboard/xprof)")
     p.add_argument("-v", "--verbosity", type=int, default=3,
                    help="0: quiet, 1: +errors, 2: +warnings, 3: +info")
     p.add_argument("--dump-stages", type=str, default=None,

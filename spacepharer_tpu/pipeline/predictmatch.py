@@ -48,6 +48,10 @@ class PredictParams:
     # (q_shards, t_shards) device mesh for the scoring step; None =
     # single device. Any shape yields byte-identical output.
     mesh: Optional[tuple] = None
+    # jax.profiler trace output dir (SURVEY 5.1: the TPU-side
+    # observability analog of the reference's prefilter statistics);
+    # None = off. View with tensorboard or xprof.
+    trace_dir: Optional[str] = None
 
 
 _worker_fn = None
@@ -387,7 +391,16 @@ def predict_match(query_db: SetDB, target_db: SetDB, control_db: SetDB,
     params = params or PredictParams()
     cache = cache or NullCache()
 
-    with stage_timer("search"):
+    import contextlib
+    profiler_cm = contextlib.nullcontext()
+    if params.trace_dir:
+        try:
+            import jax
+            profiler_cm = jax.profiler.trace(params.trace_dir)
+        except Exception as e:  # noqa: BLE001 - tracing is best-effort
+            log(1, f"jax.profiler trace unavailable: {e}")
+
+    with profiler_cm, stage_timer("search"):
         search_result = cache.get_or_compute(
             "result", lambda: search_setdbs(query_db, target_db, params))
     aggregate, merged, cscore = _aggregate_chain(search_result, query_db,
