@@ -99,8 +99,10 @@ def _add_createsetdb_flags(p):
 
 def parse_multiparam(value, default_aa: int, default_nucl: int):
     """MultiParam<T> aa/nucl dual values (lib/mmseqs/src/commons/
-    MultiParam.h): '16', 'aa:16', 'nucl:10', '16,nucl:10' or any
-    comma-combination; an unprefixed number sets the aa value."""
+    MultiParam.cpp:23-38): '16', 'aa:16', 'nucl:10', '16,nucl:10' or
+    any comma-combination. An unprefixed number sets BOTH values
+    (MultiParam.cpp:37 `nucleotides = aminoacids`); prefixed parts then
+    override their side."""
     aa, nucl = default_aa, default_nucl
     for part in str(value).split(","):
         part = part.strip()
@@ -111,7 +113,7 @@ def parse_multiparam(value, default_aa: int, default_nucl: int):
         elif part.startswith("nucl:"):
             nucl = int(part[5:])
         else:
-            aa = int(part)
+            aa = nucl = int(part)
     return aa, nucl
 
 

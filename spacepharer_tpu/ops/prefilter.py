@@ -179,18 +179,29 @@ def build_target_index(aa_seqs: list, params: PrefilterParams,
         offs32 = np.ascontiguousarray(offsets, dtype=np.int32)
         self32 = np.zeros(32, dtype=np.int32)
         self32[:len(self_scores)] = self_scores
-        out_code, out_seq, out_pos = _postings_scratch(max(len(flat8), 1))
+        out_code, out_seq, out_pos, out_uniq = \
+            _postings_scratch(max(len(flat8), 1))
         n = -2
+        n_uniq = np.zeros(1, dtype=np.int64)
         if (n_seqs < (1 << 21)
                 and int(np.diff(starts).max(initial=0)) <= 0xFFFF):
-            n = lib.build_postings_v2(
+            # v3 emits the uniq-code boundaries in the same pass, so no
+            # host boundary scan over the postings is needed
+            n = lib.build_postings_v3(
                 flat8.ctypes.data, len(flat8),
                 offs32.ctypes.data, len(offs32), span,
                 starts.ctypes.data, n_seqs,
                 self32.ctypes.data, int(kmer_thr), X_IDX,
                 out_code.ctypes.data, out_seq.ctypes.data,
-                out_pos.ctypes.data)
-        if n < 0:  # packed-key preconditions unmet or mmap failure
+                out_pos.ctypes.data, out_uniq.ctypes.data,
+                n_uniq.ctypes.data)
+        if n >= 0:
+            nu = int(n_uniq[0])
+            uniq_start = out_uniq[:nu + 1].astype(np.int64) \
+                if n else np.zeros(1, dtype=np.int64)
+            uniq_codes = out_code[uniq_start[:-1]].astype(np.int64) \
+                if n else np.zeros(0, dtype=np.int64)
+        else:  # packed-key preconditions unmet or mmap failure
             n = lib.build_postings(
                 flat8.ctypes.data, len(flat8),
                 offs32.ctypes.data, len(offs32), span,
@@ -198,14 +209,15 @@ def build_target_index(aa_seqs: list, params: PrefilterParams,
                 self32.ctypes.data, int(kmer_thr), X_IDX,
                 out_code.ctypes.data, out_seq.ctypes.data,
                 out_pos.ctypes.data)
-        # boundary pass over int32 views (the scratch buffers recycle
-        # across builds; only the exact-size index arrays pay
-        # first-touch, which costs seconds/GB on this host)
-        cv = out_code[:n]
-        ustart = (np.flatnonzero(np.concatenate(([True], cv[1:] != cv[:-1])))
-                  if n else np.zeros(0, dtype=np.int64))
-        uniq_codes = cv[ustart].astype(np.int64)
-        uniq_start = np.concatenate([ustart, [n]]).astype(np.int64)
+            # boundary pass over int32 views (the scratch buffers
+            # recycle across builds; only the exact-size index arrays
+            # pay first-touch, seconds/GB on this host)
+            cv = out_code[:n]
+            ustart = (np.flatnonzero(
+                np.concatenate(([True], cv[1:] != cv[:-1])))
+                if n else np.zeros(0, dtype=np.int64))
+            uniq_codes = cv[ustart].astype(np.int64)
+            uniq_start = np.concatenate([ustart, [n]]).astype(np.int64)
         post_seq = out_seq[:n].copy()
         post_pos = out_pos[:n].astype(np.uint16)
         return _finish_index(masked_seqs, post_seq, post_pos,
@@ -346,8 +358,21 @@ def _postings_scratch(cap: int):
         s["code"] = np.empty(cap, dtype=np.int32)
         s["seq"] = np.empty(cap, dtype=np.int32)
         s["pos"] = np.empty(cap, dtype=np.int32)
+        s["uniq"] = np.empty(cap + 1, dtype=np.int64)
         s["cap"] = cap
-    return s["code"], s["seq"], s["pos"]
+    return s["code"], s["seq"], s["pos"], s["uniq"]
+
+
+def release_postings_scratch():
+    """Free the Python scratch buffers and the native radix arena —
+    for callers done with index building (e.g. after a split-mode
+    sweep) that want the RAM back."""
+    _POSTINGS_SCRATCH.clear()
+    _POSTINGS_SCRATCH["cap"] = 0
+    from ..native import get_lib
+    lib = get_lib()
+    if lib is not None:
+        lib.postings_free_arena()
 
 
 def _finish_index(masked_seqs, post_seq, post_pos, uniq_codes, uniq_start,

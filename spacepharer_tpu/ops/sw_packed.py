@@ -224,6 +224,23 @@ def sw_allpairs_packed(prof, c1, c2, first, qoff, last, t_seqs, keep,
     )(bounds, prof, c1, c2, first, qoff, last, t_seqs, keep)
 
 
+def query_score_bound(q, matrix_scores, bias=None) -> int:
+    """Upper bound on any SW score of query q: an alignment path takes
+    at most one (diagonal) match per query row, and gap steps never add
+    score, so sum of per-row positive profile maxima bounds every cell.
+    The BIG-segmented cummaxes in the kernel are exact only while every
+    score stays below BIG (a leaked cross-query value then loses by
+    >= BIG - score-range); callers must route queries whose bound
+    reaches BIG to a non-packed scorer."""
+    q = np.asarray(q, dtype=np.int64)
+    if len(q) == 0:
+        return 0
+    p = matrix_scores[q].astype(np.int64)
+    if bias is not None:
+        p = p + np.asarray(bias, dtype=np.int64)[:len(q), None]
+    return int(np.maximum(p.max(axis=1), 0).sum())
+
+
 def pack_query_rows(q_list, matrix_scores, bias_list=None,
                     gap_open: int = 16, gap_extend: int = 2,
                     a_pad: int = 32, sq_block: int = None):
@@ -254,6 +271,15 @@ def pack_query_rows(q_list, matrix_scores, bias_list=None,
             continue
         if n > sq_block:
             raise ValueError(f"query {qi} length {n} exceeds sq_block")
+        bound = query_score_bound(
+            q, matrix_scores,
+            bias_list[qi] if bias_list is not None else None)
+        if bound >= BIG:
+            raise ValueError(
+                f"query {qi} max-score bound {bound} reaches the BIG="
+                f"{BIG} segmentation offset; score it with a non-packed "
+                "engine (device_allpairs_scores routes these "
+                "automatically)")
         # the 512-query cap bounds the harvest output block
         # (n_segs * nq_block rows) within VMEM at canonical sizes
         if cur_rows + n > sq_block or len(cur) >= 512:
@@ -376,24 +402,51 @@ def device_allpairs_scores(q_list, t_list, matrix_scores, bias_list=None,
     transfer analog of the reference's RAM-bounded target splits,
     Prefiltering.h:43-49 setupSplit) — an arbitrarily large target side
     never materializes on the device at once.
+
+    Queries whose max-score bound reaches the BIG segmentation offset
+    (or whose length exceeds the 2048-row block) cannot ride the packed
+    kernel exactly; they are scored by the bucketed XLA scan instead —
+    the word-width escalation analog of the reference's sw_sse2_byte ->
+    sw_sse2_word fallback (StripedSmithWaterman.h:253-273).
     """
-    pack = pack_query_rows(q_list, matrix_scores, bias_list=bias_list,
-                           gap_open=gap_open, gap_extend=gap_extend)
     n_t = len(t_list)
     out = np.zeros((len(q_list), n_t), dtype=np.int32)
-    lo = 0
-    while lo < n_t:
-        hi = lo
-        res = 0
-        while hi < n_t and (res == 0 or res + len(t_list[hi])
-                            <= t_chunk_residues):
-            res += len(t_list[hi])
-            hi += 1
-        tpack = pack_targets_segmented(t_list[lo:hi])
-        out[:, lo:hi] = allpairs_scores(pack, tpack, gap_open=gap_open,
-                                        gap_extend=gap_extend,
-                                        interpret=interpret)
-        lo = hi
+    dev_idx, wide_idx = [], []
+    for qi, q in enumerate(q_list):
+        bound = query_score_bound(
+            q, matrix_scores,
+            bias_list[qi] if bias_list is not None else None)
+        if bound >= BIG or len(q) > 2048:
+            wide_idx.append(qi)
+        else:
+            dev_idx.append(qi)
+    if dev_idx:
+        pack = pack_query_rows(
+            [q_list[i] for i in dev_idx], matrix_scores,
+            bias_list=([bias_list[i] for i in dev_idx]
+                       if bias_list is not None else None),
+            gap_open=gap_open, gap_extend=gap_extend)
+        lo = 0
+        while lo < n_t:
+            hi = lo
+            res = 0
+            while hi < n_t and (res == 0 or res + len(t_list[hi])
+                                <= t_chunk_residues):
+                res += len(t_list[hi])
+                hi += 1
+            tpack = pack_targets_segmented(t_list[lo:hi])
+            out[dev_idx, lo:hi] = allpairs_scores(
+                pack, tpack, gap_open=gap_open, gap_extend=gap_extend,
+                interpret=interpret)
+            lo = hi
+    if wide_idx:
+        from .sw_tpu import score_pairs_bucketed
+        pairs = [(qi, ti) for qi in wide_idx for ti in range(n_t)]
+        flat = score_pairs_bucketed(
+            pairs, q_list, t_list, matrix_scores,
+            biases=bias_list, gap_open=gap_open, gap_extend=gap_extend)
+        for (qi, ti), sc in zip(pairs, flat):
+            out[qi, ti] = sc
     return out
 
 

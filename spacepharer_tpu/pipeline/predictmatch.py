@@ -148,7 +148,8 @@ def search_setdbs(query_db: SetDB, target_db: SetDB,
         return [r.row_fields() for r in results]
 
     n_threads = params.threads if params.threads > 0 else (os.cpu_count() or 1)
-    keys = list(range(query_db.n_orfs))
+    if keys is None:
+        keys = list(range(query_db.n_orfs))
     prot = {}
     if split_mode:
         log(2, "RAM-bounded target splits "
@@ -253,6 +254,8 @@ def _search_split(t_aa, packed, params, m40, enumerator, evaluer,
                 PrefilterHit(h.target + lo, h.score, h.diagonal)
                 for h in hits)
         del index
+    from ..ops.prefilter import release_postings_scratch
+    release_postings_scratch()  # per-shard indexes are done; RAM back
 
     ungapped_m = load_matrix(params.prefilter.ungapped_matrix, 2.0)
     prot = {}

@@ -66,7 +66,10 @@ def test_sens_steps_same_sens_equals_single(dbs):
 
 def test_multiparam_syntax():
     assert parse_multiparam("16,nucl:10", 16, 10) == (16, 10)
-    assert parse_multiparam("12", 16, 10) == (12, 10)
+    # a bare number sets BOTH values (MultiParam.cpp:37
+    # nucleotides = aminoacids)
+    assert parse_multiparam("12", 16, 10) == (12, 12)
     assert parse_multiparam("aa:14,nucl:8", 16, 10) == (14, 8)
+    assert parse_multiparam("nucl:9,aa:14", 16, 10) == (14, 9)
     assert parse_multiparam("nucl:9", 16, 10) == (16, 9)
-    assert parse_multiparam(7, 16, 10) == (7, 10)
+    assert parse_multiparam(7, 16, 10) == (7, 7)

@@ -57,6 +57,34 @@ def test_packed_multiblock_grid():
     np.testing.assert_array_equal(got, ref)
 
 
+def test_oversized_query_routes_to_fallback():
+    """A query whose max-score bound reaches BIG=4096 would silently
+    corrupt its packed neighbour; pack_query_rows must refuse it and
+    device_allpairs_scores must still return exact scores by routing it
+    to the bucketed scan (ADVICE r2: VTML40 max entry 12 -> ~342+
+    residue strong-match queries are reachable via multihitsearch)."""
+    from spacepharer_tpu.ops.matrices import load_matrix
+    from spacepharer_tpu.ops.sw_packed import (BIG, device_allpairs_scores,
+                                               pack_query_rows,
+                                               query_score_bound)
+    rng = np.random.default_rng(3)
+    m = load_matrix("VTML40.out", 2.0)
+    # 400 copies of the highest-self-score letter push the bound past BIG
+    self_max_letter = int(np.argmax(np.diag(m.scores[:20, :20])))
+    big_q = np.full(400, self_max_letter, dtype=np.int64)
+    assert query_score_bound(big_q, m.scores) >= BIG
+    small_qs = [rng.integers(0, 20, int(rng.integers(5, 20)))
+                for _ in range(4)]
+    qs = small_qs[:2] + [big_q] + small_qs[2:]
+    ts = [rng.integers(0, 20, int(rng.integers(10, 80)))
+          for _ in range(7)] + [big_q[:300].copy()]
+    with pytest.raises(ValueError, match="BIG"):
+        pack_query_rows(qs, m.scores)
+    got = device_allpairs_scores(qs, ts, m.scores, interpret=True)
+    ref = _reference_scores(qs, ts, m.scores, None, 16, 2)
+    np.testing.assert_array_equal(got, ref)
+
+
 def test_packed_with_x_residues_and_gap_params():
     from spacepharer_tpu.ops.matrices import load_matrix
     rng = np.random.default_rng(7)
