@@ -73,10 +73,13 @@ def tax_dbs(examples_dir):
 def test_taxonomy_outputs_match_reference(tax_dbs, golden):
     qdb, tdb, cdb = tax_dbs
     res = predict_match(qdb, tdb, cdb)
+    # byte-exact incl. row order: the golden fixture is the reference's
+    # single-thread run (with >1 thread the reference's createtsv order
+    # is a nondeterministic DBWriter interleaving, createtsv.cpp:85
+    # LINEAR_ACCCESS over per-thread concatenation; --threads 1 is its
+    # deterministic operating point and matches our key-sorted emission)
     with open(os.path.join(golden, "result.tsv_lca.tsv")) as fh:
-        golden_rows = sorted(fh.read().rstrip("\n").split("\n"))
-    mine_rows = sorted(res.lca_tsv.rstrip("\n").split("\n"))
-    assert mine_rows == golden_rows
+        assert res.lca_tsv == fh.read()
     with open(os.path.join(golden, "result.tsv_lca_per_target.tsv")) as fh:
         assert res.lca_per_target_tsv == fh.read()
 
