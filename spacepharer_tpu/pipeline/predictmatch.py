@@ -11,7 +11,6 @@ from typing import Optional
 
 import numpy as np
 
-from ..alphabet import encode_aa
 from ..io.setdb import SetDB
 from ..ops.align import AlnParams, align_query
 from ..ops.evalue import EvalueComputer, gumbel_params
@@ -102,6 +101,7 @@ def search_setdbs(query_db: SetDB, target_db: SetDB,
     limit_b = params.prefilter.split_memory_limit << 20
     split_mode = bool(limit_b) and int(t_off[-1]) * 16 > limit_b
     index = None
+    save_thread = None
     if target_db.path and not split_mode:
         from ..ops.prefilter import load_target_index
         index = load_target_index(target_db.path, params.prefilter)
@@ -114,13 +114,21 @@ def search_setdbs(query_db: SetDB, target_db: SetDB,
             # auto-createindex: persist the freshly built index so every
             # later search of this SetDB mmap-loads it (the reference
             # pays IndexBuilder per prefilter run unless the user runs
-            # createindex, Prefiltering.cpp:734; here first use = once)
+            # createindex, Prefiltering.cpp:734; here first use = once).
+            # The ~200 MB of .npy writes ride a background thread — disk
+            # I/O off the search critical path (joined before return).
+            import threading
             from ..ops.prefilter import save_target_index
-            try:
-                save_target_index(index, target_db.path, params.prefilter)
-                log(2, f"persisted index into {target_db.path}")
-            except OSError:
-                pass
+
+            def _save():
+                try:
+                    save_target_index(index, target_db.path,
+                                      params.prefilter)
+                    log(2, f"persisted index into {target_db.path}")
+                except OSError:
+                    pass
+            save_thread = threading.Thread(target=_save, daemon=False)
+            save_thread.start()
     m40 = load_matrix(params.align.matrix, 2.0)
     seed_m = load_matrix(params.prefilter.seed_matrix, 8.0)
     enumerator = SimilarKmerEnumerator(seed_m.scores)
@@ -147,6 +155,12 @@ def search_setdbs(query_db: SetDB, target_db: SetDB,
                               params.align, evaluer)
         return [r.row_fields() for r in results]
 
+    def _prefilter_one(qkey):
+        hits = prefilter_query(q_all[qkey], index, params.prefilter,
+                               enumerator=enumerator,
+                               bias80=bias80_all[qkey])
+        return [h.target for h in hits]
+
     n_threads = params.threads if params.threads > 0 else (os.cpu_count() or 1)
     if keys is None:
         keys = list(range(query_db.n_orfs))
@@ -157,41 +171,84 @@ def search_setdbs(query_db: SetDB, target_db: SetDB,
         prot = _search_split(t_aa, (t_flat, t_off), params, m40,
                              enumerator, evaluer, bias80_all, q_all, keys)
         return _nucl_merge(prot, query_db, target_db, params)
+
+    # Engine choice. The accelerator pays a fixed in-process cost
+    # (runtime init + compiled-kernel load, seconds) plus per-dispatch
+    # packing; the host C aligner runs ~4e9 DP cells/s/core. The real
+    # alignment workload is set by the PREFILTER OUTPUT, not by
+    # |queries| x |DB| (the reference's own design premise: the
+    # prefilter exists to make alignment output-sensitive,
+    # Prefiltering.cpp:709-897). So: a cheap a-priori ceiling
+    # (every query hitting max_seqs average-length candidates) gates a
+    # two-phase path — prefilter first, then decide with exact
+    # candidate cells — while small workloads keep the fused
+    # prefilter+align path with no second fork.
+    q_res_total = int(sum(len(q_all[k]) for k in keys))
+    avg_t = index.db_residues / max(len(t_aa), 1)
+    cells_ceiling = (q_res_total
+                     * min(params.prefilter.max_seqs, len(t_aa)) * avg_t)
     use_tpu = params.use_tpu
-    if use_tpu is None:
-        # auto: the accelerator is the default engine when one is
-        # attached and the scoring workload is large enough to amortize
-        # transfers + (first-time) kernel compilation; an explicit mesh
-        # always routes through the device engine
-        use_tpu = (params.mesh is not None
-                   or (_accelerator_present()
-                       and len(keys) * index.db_residues > 5e9))
-    if use_tpu:
-        prot = _search_tpu(query_db, keys, t_aa, index, enumerator, m40,
-                           evaluer, params, bias80_all)
-    elif (n_threads > 1 and len(keys) > 16
-          and len(keys) * index.db_residues > 2e10):
-        # fork only when the work outweighs the COW page-fault cost of
-        # duplicating the index (native single-thread does ~5e9
-        # query-residue pairs per second on this path)
-        # fork workers share the index read-only (copy-on-write), like the
-        # reference's OpenMP threads over a shared mmap'd index
+    force_host = use_tpu is False or (use_tpu is None
+                                      and not _accelerator_present())
+    if params.mesh is not None and use_tpu is not False:
+        force_host = False
+    two_phase = not force_host and (
+        use_tpu or params.mesh is not None
+        or cells_ceiling > _DEVICE_CELLS_THRESHOLD)
+
+    if two_phase:
+        cand = _run_keyed(_prefilter_one, keys, n_threads,
+                          len(keys) * index.db_residues > 2e10)
+        cells = sum(
+            len(q_all[k]) * sum(len(t_aa[t]) for t in cand[k])
+            for k in keys)
+        engage = (use_tpu or params.mesh is not None
+                  or cells > _DEVICE_CELLS_THRESHOLD)
+        log(2, f"candidate cells {cells:.3g} -> "
+               f"{'device' if engage else 'host'} scoring engine")
+        if engage:
+            prot = _search_tpu(keys, t_aa, cand, q_all, m40,
+                               evaluer, params)
+        else:
+            def _align_one(qkey):
+                results = align_query(q_all[qkey], cand[qkey], t_aa, m40,
+                                      params.align, evaluer)
+                return [r.row_fields() for r in results]
+            prot = _run_keyed(_align_one, keys, n_threads, cells > 2e10)
+    else:
+        prot = _run_keyed(_one_query, keys, n_threads,
+                          len(keys) * index.db_residues > 2e10)
+
+    if save_thread is not None:
+        save_thread.join()
+    return _nucl_merge(prot, query_db, target_db, params)
+
+
+# Exact-candidate DP cells above which the accelerator beats the host
+# aligner including its fixed init/pack overhead (host ~4e9 cells/s/core
+# vs device ~6e10 sustained + seconds of overhead; measured on the
+# scale corpora, see BASELINE.md).
+_DEVICE_CELLS_THRESHOLD = 3e10
+
+
+def _run_keyed(fn, keys, n_threads, big: bool) -> dict:
+    """Run fn(key) for every key, fork-pooled when `big` (workers share
+    the index read-only via COW, like the reference's OpenMP threads
+    over a shared mmap'd index, Prefiltering.cpp:776-800)."""
+    if big and n_threads > 1 and len(keys) > 16:
         import multiprocessing as mp
         global _worker_fn
-        _worker_fn = _one_query
+        _worker_fn = fn
         ctx = mp.get_context("fork")
         chunks = [keys[i::n_threads] for i in range(n_threads)]
         with ctx.Pool(n_threads) as pool:
             parts = pool.map(_run_chunk, chunks)
+        out = {}
         for chunk, rows_list in zip(chunks, parts):
             for qkey, rows in zip(chunk, rows_list):
-                prot[qkey] = rows
-        prot = {k: prot[k] for k in keys}
-    else:
-        for qkey in keys:
-            prot[qkey] = _one_query(qkey)
-
-    return _nucl_merge(prot, query_db, target_db, params)
+                out[qkey] = rows
+        return {k: out[k] for k in keys}
+    return {k: fn(k) for k in keys}
 
 
 def _nucl_merge(prot: dict, query_db: SetDB, target_db: SetDB,
@@ -276,33 +333,26 @@ def _accelerator_present() -> bool:
         return False
 
 
-def _search_tpu(query_db, keys, t_aa, index, enumerator, m40, evaluer,
-                params, bias80_all):
-    """Device scoring engine: prefilter on host (order-dependent
-    integer heuristics, QueryMatcher.cpp:84-323), then bulk-score every
-    (query x candidate-target) cell on the accelerator in one packed
-    dispatch, and run the exact host alignment only on E-value
+def _search_tpu(keys, t_aa, cand, q_all, m40, evaluer, params):
+    """Device scoring engine: candidates come from the host prefilter
+    (order-dependent integer heuristics, QueryMatcher.cpp:84-323); the
+    device bulk-scores every (query x candidate-target) cell in packed
+    dispatches, and the exact host alignment runs only on E-value
     survivors — output-identical to the host path (the device scores
-    are cell-exact, tests/test_sw_packed.py)."""
+    are cell-exact, tests/test_sw_packed.py). Survivor re-alignment is
+    fork-pooled like the host path (the reference realigns accepted
+    pairs omp-parallel, Alignment.cpp:255-)."""
     from ..ops.align import sw_bias_i8, sw_align, check_criteria
 
-    q_seqs = {}
     biases = {}
-    cand = {}
-    union = set()
     for qkey in keys:
-        q = encode_aa(query_db.orf_aa(qkey).tobytes())
-        q_seqs[qkey] = q
+        q = q_all[qkey]
         biases[qkey] = (sw_bias_i8(q, m40) if params.align.comp_bias_corr
                         else np.zeros(len(q), dtype=np.int64))
-        hits = prefilter_query(q, index, params.prefilter,
-                               enumerator=enumerator,
-                               bias80=bias80_all[qkey])
-        cand[qkey] = [h.target for h in hits]
-        union.update(cand[qkey])
 
-    union = sorted(union)
+    union = sorted({t for k in keys for t in cand[k]})
     col_of = {t: j for j, t in enumerate(union)}
+    scores = None
     if union:
         if params.mesh is not None:
             from ..parallel.sharding import (make_mesh,
@@ -312,14 +362,14 @@ def _search_tpu(query_db, keys, t_aa, index, enumerator, m40, evaluer,
             mesh = make_mesh(nq_sh, nt_sh,
                              devices=jax.devices()[:nq_sh * nt_sh])
             scores = sharded_allpairs_scores(
-                mesh, [q_seqs[k] for k in keys], [t_aa[t] for t in union],
+                mesh, [q_all[k] for k in keys], [t_aa[t] for t in union],
                 m40.scores, bias_list=[biases[k] for k in keys],
                 gap_open=params.align.gap_open,
                 gap_extend=params.align.gap_extend)
         elif _accelerator_present():
             from ..ops.sw_packed import device_allpairs_scores
             scores = device_allpairs_scores(
-                [q_seqs[k] for k in keys], [t_aa[t] for t in union],
+                [q_all[k] for k in keys], [t_aa[t] for t in union],
                 m40.scores, bias_list=[biases[k] for k in keys],
                 gap_open=params.align.gap_open,
                 gap_extend=params.align.gap_extend)
@@ -328,21 +378,23 @@ def _search_tpu(query_db, keys, t_aa, index, enumerator, m40, evaluer,
             from ..ops.sw_tpu import score_pairs_bucketed
             pairs = [(k, t) for k in keys for t in cand[k]]
             flat = score_pairs_bucketed(
-                pairs, q_seqs, t_aa, m40.scores, biases,
+                pairs, q_all, t_aa, m40.scores, biases,
                 params.align.gap_open, params.align.gap_extend)
             qrow = {k: i for i, k in enumerate(keys)}
             scores = np.zeros((len(keys), len(union)), dtype=np.int64)
             for (k, t), sc in zip(pairs, flat):
                 scores[qrow[k], col_of[t]] = sc
-    prot = {}
-    for qi, qkey in enumerate(keys):
+    qrow_of = {k: i for i, k in enumerate(keys)}
+
+    def _realign_one(qkey):
+        qi = qrow_of[qkey]
         out = []
         for t in cand[qkey]:
             sc = int(scores[qi, col_of[t]])
-            if float(evaluer.evalue(sc, len(q_seqs[qkey]))) \
+            if float(evaluer.evalue(sc, len(q_all[qkey]))) \
                     > params.align.evalue:
                 continue
-            res = sw_align(q_seqs[qkey], t_aa[t], m40, params.align, evaluer,
+            res = sw_align(q_all[qkey], t_aa[t], m40, params.align, evaluer,
                            biases[qkey])
             if res is None:
                 continue
@@ -350,8 +402,12 @@ def _search_tpu(query_db, keys, t_aa, index, enumerator, m40, evaluer,
             if check_criteria(res, params.align):
                 out.append(res)
         out.sort(key=lambda r: (r.evalue, -r.raw_score, r.t_len, r.target))
-        prot[qkey] = [r.row_fields() for r in out]
-    return prot
+        return [r.row_fields() for r in out]
+
+    n_threads = params.threads if params.threads > 0 else (os.cpu_count() or 1)
+    surv_cells = sum(len(q_all[k]) * sum(len(t_aa[t]) for t in cand[k])
+                     for k in keys)
+    return _run_keyed(_realign_one, keys, n_threads, surv_cells > 2e9)
 
 
 def _aggregate_chain(result: dict, query_db: SetDB, target_db: SetDB):
