@@ -63,6 +63,11 @@ def _add_predict_flags(p):
                    help="score alignment candidates on the accelerator "
                         "(-1 auto: on when a device is attached and the "
                         "workload amortizes it; output-identical)")
+    p.add_argument("--prefilter-engine", type=str, default="auto",
+                   choices=("auto", "host", "device"),
+                   help="k-mer matching engine: host index walk or dense "
+                        "device (MXU) matching; auto picks by workload "
+                        "(output is byte-identical either way)")
     p.add_argument("--split-memory-limit", type=int, default=0,
                    metavar="MB",
                    help="RAM budget for the target k-mer index; above "
@@ -127,7 +132,8 @@ def _predict_params(args) -> PredictParams:
             min_diag_score=args.min_ungapped_score, mask=bool(args.mask),
             comp_bias_corr=bool(args.comp_bias_corr),
             split_memory_limit=args.split_memory_limit,
-            start_sens=args.start_sens, sens_steps=args.sens_steps),
+            start_sens=args.start_sens, sens_steps=args.sens_steps,
+            engine=getattr(args, "prefilter_engine", "auto")),
         align=AlnParams(gap_open=go_aa, gap_extend=ge_aa,
                         evalue=args.evalue,
                         comp_bias_corr=bool(args.comp_bias_corr)),

@@ -48,6 +48,11 @@ class PrefilterParams:
     # stop early, stragglers continue to the next (more sensitive) step
     start_sens: float = 4.0
     sens_steps: int = 1
+    # k-mer matching engine: "host" = index walk (prefilter_query),
+    # "device" = dense MXU matching (ops/prefilter_dense.py, needs no
+    # postings index), "auto" = device when an accelerator is attached
+    # and the workload amortizes it. Output is byte-identical either way.
+    engine: str = "auto"
 
     @property
     def offsets(self) -> np.ndarray:
@@ -346,6 +351,85 @@ def load_target_index(setdb_path: str,
     )
 
 
+def persisted_index_exists(setdb_path: str, params: PrefilterParams) -> bool:
+    d = os.path.join(setdb_path, f"index_{index_cache_key(params)}")
+    return os.path.exists(os.path.join(d, "meta.json"))
+
+
+def build_masked_flat(aa_seqs, params: PrefilterParams, packed=None):
+    """(flat uint8, starts int64) of the tantan-masked target — the
+    IndexBuilder masking stage (IndexBuilder.cpp:139-149) without the
+    postings build. This is ALL the target-side state the dense device
+    prefilter needs (ops/prefilter_dense.py)."""
+    seed_m = load_matrix(params.seed_matrix, 8.0)
+    if packed is not None:
+        starts = np.ascontiguousarray(packed[1], dtype=np.int64)
+        flat8 = packed[0].astype(np.uint8)      # copy; masked in place
+        n_seqs = len(starts) - 1
+    else:
+        n_seqs = len(aa_seqs)
+        starts = np.zeros(n_seqs + 1, dtype=np.int64)
+        np.cumsum([len(s) for s in aa_seqs], out=starts[1:])
+        flat8 = (np.concatenate(
+            [np.asarray(s, dtype=np.uint8) for s in aa_seqs])
+            if n_seqs and starts[-1] else np.zeros(0, np.uint8))
+    if params.mask and len(flat8):
+        from ..native import get_lib
+        lib = get_lib()
+        if lib is not None:
+            from .tantan import (DECAY, MAX_CYCLE, MIN_MASK_PROB,
+                                 REPEAT_END_PROB, REPEAT_PROB)
+            ratios_c = np.ascontiguousarray(
+                likelihood_ratios(seed_m), dtype=np.float64)
+            mask = np.zeros(len(flat8), dtype=np.uint8)
+            lib.tantan_mask_batch(
+                flat8.ctypes.data, starts.ctypes.data, n_seqs,
+                ratios_c.ctypes.data, ratios_c.shape[1],
+                MAX_CYCLE, REPEAT_PROB, REPEAT_END_PROB, DECAY,
+                MIN_MASK_PROB, mask.ctypes.data)
+            flat8[mask.view(bool)] = X_IDX
+        else:
+            ratios = likelihood_ratios(seed_m)
+            masked = mask_sequences_batch(
+                [flat8[starts[i]:starts[i + 1]].astype(np.int64)
+                 for i in range(n_seqs)], ratios, X_IDX, bucket_size=2048)
+            flat8 = (np.concatenate(masked).astype(np.uint8)
+                     if n_seqs else flat8)
+    return flat8, starts
+
+
+def mask_cache_key(params: PrefilterParams) -> str:
+    """Content key of the masked-flat cache (mask params only — the
+    postings threshold does not affect masking)."""
+    import hashlib
+    s = f"{int(params.mask)}|{params.seed_matrix}|tantan-v1"
+    return hashlib.sha256(s.encode()).hexdigest()[:16]
+
+
+def save_masked_flat(flat8, starts, setdb_path: str,
+                     params: PrefilterParams) -> str:
+    d = os.path.join(setdb_path, f"mask_{mask_cache_key(params)}")
+    os.makedirs(d, exist_ok=True)
+    np.save(os.path.join(d, "flat_masked.npy"), flat8)
+    np.save(os.path.join(d, "starts.npy"), starts)
+    return d
+
+
+def load_masked_flat(setdb_path: str, params: PrefilterParams):
+    """Masked flat target from any persisted cache: the dedicated mask
+    cache, else a persisted full index (which embeds the same arrays).
+    Arrays are mmapped read-only. Returns (flat, starts) or None."""
+    d = os.path.join(setdb_path, f"mask_{mask_cache_key(params)}")
+    if os.path.exists(os.path.join(d, "starts.npy")):
+        return (np.load(os.path.join(d, "flat_masked.npy"), mmap_mode="r"),
+                np.load(os.path.join(d, "starts.npy"), mmap_mode="r"))
+    di = os.path.join(setdb_path, f"index_{index_cache_key(params)}")
+    if os.path.exists(os.path.join(di, "meta.json")):
+        return (np.load(os.path.join(di, "flat_masked.npy"), mmap_mode="r"),
+                np.load(os.path.join(di, "starts.npy"), mmap_mode="r"))
+    return None
+
+
 _POSTINGS_SCRATCH = {"cap": 0}
 
 
@@ -446,6 +530,7 @@ class SimilarKmerEnumerator:
         self.half = half
         self.n_half = 20 ** half
         self.cache = {}
+        self.rank_cache = {}
         self.full_scores = None  # [20^3, 20^3] int16, precomputed table
         self.full_codes = None
 
@@ -495,6 +580,21 @@ class SimilarKmerEnumerator:
         entry = (s[order], order.astype(np.int64))
         self.cache[key] = entry
         return entry
+
+    def half_rank(self, tri) -> np.ndarray:
+        """rank[c] = position of half-code c in this half's enumeration
+        order (score desc, code asc) — the inverse permutation of
+        half_list's code order. Used to reconstruct the reference's
+        match-stream emission order from dense device hits."""
+        key = bytes(np.asarray(tri, dtype=np.int64))
+        r = self.rank_cache.get(key)
+        if r is None:
+            _, codes = self.half_list(np.asarray(tri, dtype=np.int64))
+            r = np.empty(self.n_half, dtype=np.int32)
+            r[np.asarray(codes, dtype=np.int64)] = np.arange(
+                self.n_half, dtype=np.int32)
+            self.rank_cache[key] = r
+        return r
 
     def enumerate(self, kmer_letters: np.ndarray, thr: int):
         """All 6-mer codes scoring >= thr vs kmer, in reference order."""

@@ -98,44 +98,17 @@ def search_setdbs(query_db: SetDB, target_db: SetDB,
 
     t_flat, t_off = target_db.orf_aa_encoded()
     t_aa = [t_flat[t_off[i]:t_off[i + 1]] for i in range(target_db.n_orfs)]
+    t_res = int(t_off[-1])
     limit_b = params.prefilter.split_memory_limit << 20
-    split_mode = bool(limit_b) and int(t_off[-1]) * 16 > limit_b
-    index = None
-    save_thread = None
-    if target_db.path and not split_mode:
-        from ..ops.prefilter import load_target_index
-        index = load_target_index(target_db.path, params.prefilter)
-        if index is not None:
-            log(2, f"using persisted index in {target_db.path}")
-    if index is None and not split_mode:
-        index = build_target_index(t_aa, params.prefilter,
-                                   packed=(t_flat, t_off))
-        if target_db.path and os.access(target_db.path, os.W_OK):
-            # auto-createindex: persist the freshly built index so every
-            # later search of this SetDB mmap-loads it (the reference
-            # pays IndexBuilder per prefilter run unless the user runs
-            # createindex, Prefiltering.cpp:734; here first use = once).
-            # The ~200 MB of .npy writes ride a background thread — disk
-            # I/O off the search critical path (joined before return).
-            import threading
-            from ..ops.prefilter import save_target_index
+    split_mode = bool(limit_b) and t_res * 16 > limit_b
 
-            def _save():
-                try:
-                    save_target_index(index, target_db.path,
-                                      params.prefilter)
-                    log(2, f"persisted index into {target_db.path}")
-                except OSError:
-                    pass
-            save_thread = threading.Thread(target=_save, daemon=False)
-            save_thread.start()
     m40 = load_matrix(params.align.matrix, 2.0)
     seed_m = load_matrix(params.prefilter.seed_matrix, 8.0)
     enumerator = SimilarKmerEnumerator(seed_m.scores)
     evaluer = EvalueComputer(
         gumbel_params(params.align.matrix, params.align.gap_open,
                       params.align.gap_extend),
-        sum(len(t) for t in t_aa))
+        t_res)
 
     from ..ops.bias import local_aa_bias_batch
 
@@ -145,6 +118,86 @@ def search_setdbs(query_db: SetDB, target_db: SetDB,
         bias80_all = local_aa_bias_batch(q_all, seed_m)
     else:
         bias80_all = [np.zeros(len(q)) for q in q_all]
+    if keys is None:
+        keys = list(range(query_db.n_orfs))
+
+    # prefilter engine choice (SURVEY 7.2 step 3). The dense device
+    # engine (ops/prefilter_dense.py) needs no postings index — only the
+    # tantan-masked flat target — so a fresh-index search skips the
+    # postings build (the dominant host cost at scale). Output is
+    # byte-identical either way; this is purely a performance routing.
+    span = params.prefilter.pattern_span
+    nk_total = sum(max(len(q_all[k]) - span + 1, 0) for k in keys)
+    pf_engine = params.prefilter.engine
+    use_dev_pf = False
+    if not split_mode:
+        if pf_engine == "device":
+            use_dev_pf = True
+        elif pf_engine == "auto" and _accelerator_present():
+            from ..ops.prefilter import persisted_index_exists
+            has_idx = bool(target_db.path) and persisted_index_exists(
+                target_db.path, params.prefilter)
+            # fresh index: the dense pass replaces the whole postings
+            # build, so it pays off early; with a persisted index the
+            # host walk is already cheap and the bar is much higher
+            use_dev_pf = nk_total * t_res > (1e12 if has_idx else 1e10)
+
+    index = None
+    save_thread = None
+    masked = None
+    if use_dev_pf:
+        from ..ops.prefilter import (build_masked_flat, load_masked_flat,
+                                     save_masked_flat)
+        if target_db.path:
+            masked = load_masked_flat(target_db.path, params.prefilter)
+            if masked is not None:
+                log(2, f"using persisted masked target in {target_db.path}")
+        if masked is None:
+            masked = build_masked_flat(t_aa, params.prefilter,
+                                       packed=(t_flat, t_off))
+            if target_db.path and os.access(target_db.path, os.W_OK):
+                import threading
+                mflat, mstarts = masked
+
+                def _save_mask():
+                    try:
+                        save_masked_flat(mflat, mstarts, target_db.path,
+                                         params.prefilter)
+                        log(2, f"persisted masked target into "
+                               f"{target_db.path}")
+                    except OSError:
+                        pass
+                save_thread = threading.Thread(target=_save_mask,
+                                               daemon=False)
+                save_thread.start()
+    elif not split_mode:
+        if target_db.path:
+            from ..ops.prefilter import load_target_index
+            index = load_target_index(target_db.path, params.prefilter)
+            if index is not None:
+                log(2, f"using persisted index in {target_db.path}")
+        if index is None:
+            index = build_target_index(t_aa, params.prefilter,
+                                       packed=(t_flat, t_off))
+            if target_db.path and os.access(target_db.path, os.W_OK):
+                # auto-createindex: persist the freshly built index so
+                # every later search of this SetDB mmap-loads it (the
+                # reference pays IndexBuilder per prefilter run unless
+                # the user runs createindex, Prefiltering.cpp:734; here
+                # first use = once). The ~200 MB of .npy writes ride a
+                # background thread (joined before return).
+                import threading
+                from ..ops.prefilter import save_target_index
+
+                def _save():
+                    try:
+                        save_target_index(index, target_db.path,
+                                          params.prefilter)
+                        log(2, f"persisted index into {target_db.path}")
+                    except OSError:
+                        pass
+                save_thread = threading.Thread(target=_save, daemon=False)
+                save_thread.start()
 
     def _one_query(qkey):
         q = q_all[qkey]
@@ -162,8 +215,6 @@ def search_setdbs(query_db: SetDB, target_db: SetDB,
         return [h.target for h in hits]
 
     n_threads = params.threads if params.threads > 0 else (os.cpu_count() or 1)
-    if keys is None:
-        keys = list(range(query_db.n_orfs))
     prot = {}
     if split_mode:
         log(2, "RAM-bounded target splits "
@@ -172,11 +223,11 @@ def search_setdbs(query_db: SetDB, target_db: SetDB,
                              enumerator, evaluer, bias80_all, q_all, keys)
         return _nucl_merge(prot, query_db, target_db, params)
 
-    # Engine choice. The accelerator pays a fixed in-process cost
-    # (runtime init + compiled-kernel load, seconds) plus per-dispatch
-    # packing; the host C aligner runs ~4e9 DP cells/s/core. The real
-    # alignment workload is set by the PREFILTER OUTPUT, not by
-    # |queries| x |DB| (the reference's own design premise: the
+    # Scoring engine choice. The accelerator pays a fixed in-process
+    # cost (runtime init + compiled-kernel load, seconds) plus
+    # per-dispatch packing; the host C aligner runs ~4e9 DP cells/s/
+    # core. The real alignment workload is set by the PREFILTER OUTPUT,
+    # not by |queries| x |DB| (the reference's own design premise: the
     # prefilter exists to make alignment output-sensitive,
     # Prefiltering.cpp:709-897). So: a cheap a-priori ceiling
     # (every query hitting max_seqs average-length candidates) gates a
@@ -184,7 +235,7 @@ def search_setdbs(query_db: SetDB, target_db: SetDB,
     # candidate cells — while small workloads keep the fused
     # prefilter+align path with no second fork.
     q_res_total = int(sum(len(q_all[k]) for k in keys))
-    avg_t = index.db_residues / max(len(t_aa), 1)
+    avg_t = t_res / max(len(t_aa), 1)
     cells_ceiling = (q_res_total
                      * min(params.prefilter.max_seqs, len(t_aa)) * avg_t)
     use_tpu = params.use_tpu
@@ -192,18 +243,30 @@ def search_setdbs(query_db: SetDB, target_db: SetDB,
                                       and not _accelerator_present())
     if params.mesh is not None and use_tpu is not False:
         force_host = False
-    two_phase = not force_host and (
+    two_phase = use_dev_pf or (not force_host and (
         use_tpu or params.mesh is not None
-        or cells_ceiling > _DEVICE_CELLS_THRESHOLD)
+        or cells_ceiling > _DEVICE_CELLS_THRESHOLD))
 
     if two_phase:
-        cand = _run_keyed(_prefilter_one, keys, n_threads,
-                          len(keys) * index.db_residues > 2e10)
+        if use_dev_pf:
+            from ..ops.prefilter_dense import device_prefilter
+            backend = "pallas" if _accelerator_present() else "xla"
+            log(2, f"dense device prefilter ({backend}): "
+                   f"{nk_total} k-mers x {t_res} target residues")
+            ungapped_m = load_matrix(params.prefilter.ungapped_matrix, 2.0)
+            hits_all = device_prefilter(
+                q_all, keys, bias80_all, masked[0], masked[1],
+                params.prefilter, enumerator, seed_m, ungapped_m,
+                backend=backend)
+            cand = {k: [h.target for h in hits_all[k]] for k in keys}
+        else:
+            cand = _run_keyed(_prefilter_one, keys, n_threads,
+                              len(keys) * t_res > 2e10)
         cells = sum(
             len(q_all[k]) * sum(len(t_aa[t]) for t in cand[k])
             for k in keys)
-        engage = (use_tpu or params.mesh is not None
-                  or cells > _DEVICE_CELLS_THRESHOLD)
+        engage = not force_host and (use_tpu or params.mesh is not None
+                                     or cells > _DEVICE_CELLS_THRESHOLD)
         log(2, f"candidate cells {cells:.3g} -> "
                f"{'device' if engage else 'host'} scoring engine")
         if engage:
@@ -217,7 +280,7 @@ def search_setdbs(query_db: SetDB, target_db: SetDB,
             prot = _run_keyed(_align_one, keys, n_threads, cells > 2e10)
     else:
         prot = _run_keyed(_one_query, keys, n_threads,
-                          len(keys) * index.db_residues > 2e10)
+                          len(keys) * t_res > 2e10)
 
     if save_thread is not None:
         save_thread.join()

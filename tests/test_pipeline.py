@@ -115,6 +115,20 @@ def test_predictmatch_use_tpu_output_identical(dbs, golden):
         assert res.text == fh.read()
 
 
+def test_predictmatch_device_prefilter_output_identical(dbs, golden):
+    """The dense device prefilter (--prefilter-engine device) must
+    reproduce the host prefilter byte for byte end-to-end (here via the
+    XLA backend on CPU jax; the match stream feeds the same exact
+    finalize)."""
+    from dataclasses import replace
+    qdb, tdb, cdb = dbs
+    p = PredictParams()
+    p = replace(p, prefilter=replace(p.prefilter, engine="device"))
+    res = predict_match(qdb, tdb, cdb, p)
+    with open(os.path.join(golden, "result.tsv")) as fh:
+        assert res.text == fh.read()
+
+
 @pytest.mark.parametrize("mesh", [(1, 8), (2, 4), (4, 2)])
 def test_predictmatch_mesh_shapes_byte_identical(dbs, golden, mesh):
     """The sharded scoring engine yields byte-identical result.tsv for

@@ -79,3 +79,57 @@ def test_honest_throughput_floor(tmp_path):
     line = [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
     metric = json.loads(line)
     assert metric["value"] > 20e9, metric
+
+
+def test_dense_prefilter_hw_matches_host(tmp_path):
+    """The dense Pallas prefilter on the real chip reproduces the host
+    match set exactly (planted motifs guarantee a non-vacuous set)."""
+    _gate()
+    script = r"""
+import numpy as np
+from spacepharer_tpu.ops.matrices import load_matrix
+from spacepharer_tpu.ops.bias import local_aa_bias
+from spacepharer_tpu.ops.prefilter import PrefilterParams
+from spacepharer_tpu.ops.prefilter_dense import (
+    build_query_batch, match_pairs_device, match_pairs_numpy,
+    target_boundary_valid)
+import jax
+assert jax.default_backend() != "cpu", jax.default_backend()
+rng = np.random.default_rng(5)
+targets = []
+for _ in range(400):
+    L = int(rng.integers(5, 200))
+    s = rng.integers(0, 20, size=L).astype(np.uint8)
+    s[rng.random(L) < 0.05] = 20
+    targets.append(s)
+queries = [rng.integers(0, 20, int(rng.integers(9, 14))).astype(np.uint8)
+           for _ in range(30)]
+for q in queries:
+    for _ in range(4):
+        t = targets[int(rng.integers(0, len(targets)))]
+        if len(t) > len(q):
+            p = int(rng.integers(0, len(t) - len(q)))
+            t[p:p + len(q)] = q
+params = PrefilterParams(mask=False)
+seed_m = load_matrix(params.seed_matrix, 8.0)
+q_all = [np.asarray(q, np.int64) for q in queries]
+bias80 = [local_aa_bias(q, seed_m) for q in q_all]
+batch = build_query_batch(q_all, list(range(len(queries))), bias80, params)
+flat = np.concatenate([np.asarray(t, np.uint8) for t in targets])
+starts = np.zeros(len(targets) + 1, dtype=np.int64)
+np.cumsum([len(t) for t in targets], out=starts[1:])
+bval = target_boundary_valid(starts, batch.span)
+thr = params.kmer_threshold()
+gi0, gj0 = match_pairs_numpy(batch, flat, bval, seed_m.scores, thr)
+gi1, gj1 = match_pairs_device(batch, flat, bval, seed_m.scores, thr,
+                              backend="pallas")
+a = sorted(zip(gi0.tolist(), gj0.tolist()))
+b = sorted(zip(gi1.tolist(), gj1.tolist()))
+assert len(a) > 0 and a == b, (len(a), len(b))
+print("PREFILTER-HW-EXACT", len(a))
+"""
+    r = subprocess.run([sys.executable, "-c", script], env=_tpu_env(),
+                       capture_output=True, text=True, timeout=900,
+                       cwd=str(tmp_path))
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "PREFILTER-HW-EXACT" in r.stdout
