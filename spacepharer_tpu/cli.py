@@ -92,6 +92,8 @@ def _add_predict_flags(p):
 
 
 def _add_createsetdb_flags(p):
+    p.add_argument("-v", "--verbosity", type=int, default=3,
+                   help="0: quiet, 1: +errors, 2: +warnings, 3: +info")
     p.add_argument("--reverse-fragments", type=int, default=0, choices=(0, 1))
     p.add_argument("--extractorf-spacer", type=int, default=0, choices=(0, 1))
     p.add_argument("--tax-mapping-file", type=str, default=None)
@@ -186,6 +188,24 @@ def cmd_createsetdb(argv):
     *files, out_db, tmp = args.inputs
     os.makedirs(tmp, exist_ok=True)
     t0 = time.time()
+    # exists-guard resume (the reference's notExists checkpoint on the
+    # workflow output, data/createsetdb.sh): same inputs + params over
+    # an existing SetDB -> no-op
+    from .pipeline.workflow import _hash_inputs
+    stamp_params = "|".join(str(getattr(args, a)) for a in (
+        "reverse_fragments", "extractorf_spacer", "min_length",
+        "max_length", "translation_table", "tax_mapping_file",
+        "ncbi_tax_dump"))
+    stamp_hash = _hash_inputs("createsetdb", stamp_params, files)
+    stamp_file = os.path.join(out_db, "createsetdb.stamp")
+    if SetDB.exists(out_db):
+        try:
+            with open(stamp_file) as fh:
+                if fh.read() == stamp_hash:
+                    print(f"createsetdb: {out_db} up to date [resume]")
+                    return 0
+        except OSError:
+            pass
     if len(files) == 1 and os.path.exists(files[0] + ".spacers.tsv"):
         # input is a parsespacer DB -> spacer-mode SetDB
         from .io.spacer_formats import SpacerRecord
@@ -215,6 +235,11 @@ def cmd_createsetdb(argv):
             tax_mapping_file=args.tax_mapping_file,
             taxdump_dir=args.ncbi_tax_dump)
     db.save(out_db)
+    try:
+        with open(stamp_file, "w") as fh:
+            fh.write(stamp_hash)
+    except OSError:
+        pass
     print(f"createsetdb: {db.n_contigs} contigs, {db.n_orfs} ORFs, "
           f"{db.n_sets} sets in {time.time()-t0:.1f}s -> {out_db}")
     return 0

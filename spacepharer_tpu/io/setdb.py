@@ -113,6 +113,21 @@ class SetDB:
     # ------------------------------------------------------------------ io
     def save(self, path: str):
         os.makedirs(path, exist_ok=True)
+        # derived caches (persisted prefilter indexes, masked-target
+        # flats, resume stamps) describe the PREVIOUS contents of this
+        # path — stale ones must not survive a rebuild
+        import shutil
+        for name in os.listdir(path):
+            if (name.startswith("index_") or name.startswith("mask_")
+                    or name == "createsetdb.stamp"):
+                full = os.path.join(path, name)
+                if os.path.isdir(full):
+                    shutil.rmtree(full, ignore_errors=True)
+                else:
+                    try:
+                        os.unlink(full)
+                    except OSError:
+                        pass
         arrays = dict(
             contig_data=self.contig_data, contig_offsets=self.contig_offsets,
             contig_to_set=self.contig_to_set,

@@ -522,32 +522,46 @@ def predict_match(query_db: SetDB, target_db: SetDB, control_db: SetDB,
         except Exception as e:  # noqa: BLE001 - tracing is best-effort
             log(1, f"jax.profiler trace unavailable: {e}")
 
+    # Step-granular resume (SURVEY 5.4): every stage below the two
+    # searches is its own cached artifact, mirroring the reference's
+    # per-step notExists guards (data/predictmatch.sh:29-230) — killing
+    # a run and restarting recomputes only the first missing stage.
     with profiler_cm, stage_timer("search"):
         search_result = cache.get_or_compute(
             "result", lambda: search_setdbs(query_db, target_db, params))
-    aggregate, merged, cscore = _aggregate_chain(search_result, query_db,
-                                                 target_db)
+    aggregate, merged, cscore = cache.get_or_compute(
+        "aggregate", lambda: _aggregate_chain(search_result, query_db,
+                                              target_db))
 
     with stage_timer("search_rev"):
         result_rev = cache.get_or_compute(
             "result_rev", lambda: search_setdbs(query_db, control_db, params))
-    _, _, cscore_rev = _aggregate_chain(result_rev, query_db, control_db)
+    cscore_rev = cache.get_or_compute(
+        "aggregate_rev",
+        lambda: _aggregate_chain(result_rev, query_db, control_db))[2]
 
-    match, messages = filter_match_by_fdr(cscore, cscore_rev, params.fdr,
-                                          params.report_fdr)
+    match, messages = cache.get_or_compute(
+        "match", lambda: filter_match_by_fdr(cscore, cscore_rev, params.fdr,
+                                             params.report_fdr))
 
-    q_set_size_of = {okey: int(query_db.set_size[query_db.orf_to_set[okey]])
-                     for okey in range(query_db.n_orfs)}
-    truncated = truncate_best_hits(aggregate, q_set_size_of)
-    offset = offset_alignments(truncated, query_db, target_db)
-    with_tax = target_db.contig_taxid is not None
-    aln = convert_alignments(offset, query_db, target_db, with_tax)
-    set_to_contigs = {}
-    for c in range(query_db.n_contigs):
-        set_to_contigs.setdefault(int(query_db.contig_to_set[c]), []).append(c)
-    aln_merged = merge_entries_by_set(aln, set_to_contigs)
-    if params.report_pam:
-        aln_merged = find_pam(aln_merged, target_db)
+    def _aln_stage():
+        q_set_size_of = {
+            okey: int(query_db.set_size[query_db.orf_to_set[okey]])
+            for okey in range(query_db.n_orfs)}
+        truncated = truncate_best_hits(aggregate, q_set_size_of)
+        offset = offset_alignments(truncated, query_db, target_db)
+        with_tax = target_db.contig_taxid is not None
+        aln = convert_alignments(offset, query_db, target_db, with_tax)
+        set_to_contigs = {}
+        for c in range(query_db.n_contigs):
+            set_to_contigs.setdefault(
+                int(query_db.contig_to_set[c]), []).append(c)
+        aln_merged = merge_entries_by_set(aln, set_to_contigs)
+        if params.report_pam:
+            aln_merged = find_pam(aln_merged, target_db)
+        return truncated, aln_merged
+
+    truncated, aln_merged = cache.get_or_compute("aln", _aln_stage)
 
     text = summarize_results(match, aln_merged, params.fmt, params.report_fdr,
                              taxonomy=None)

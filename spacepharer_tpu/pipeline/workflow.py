@@ -27,10 +27,12 @@ def _hash_inputs(command: str, params_repr: str, inputs) -> str:
         try:
             if os.path.isdir(path):
                 # SetDB directory: hash the data files only; persisted
-                # prefilter indexes (index_*) are derived caches whose
+                # prefilter indexes (index_*), masked-target caches
+                # (mask_*) and resume stamps are derived artifacts whose
                 # appearance must not invalidate workflow resume
                 for name in sorted(os.listdir(path)):
-                    if name.startswith("index_"):
+                    if (name.startswith("index_") or name.startswith("mask_")
+                            or name == "createsetdb.stamp"):
                         continue
                     st = os.stat(os.path.join(path, name))
                     h.update(f"{name}:{st.st_size}:{st.st_mtime_ns}".encode())
