@@ -92,7 +92,26 @@ class SetDB:
         return encode_aa_array(self.orf_aa_data), self.orf_aa_offsets
 
     def orf_nucl(self, i: int) -> np.ndarray:
-        return self.orf_nucl_data[self.orf_nucl_offsets[i]:self.orf_nucl_offsets[i + 1]]
+        if self.orf_nucl_data is not None:
+            return self.orf_nucl_data[
+                self.orf_nucl_offsets[i]:self.orf_nucl_offsets[i + 1]]
+        # derived form: the reading-direction nucleotide sequence is a
+        # pure function of (contig bytes, coords, control flag), so it
+        # is not persisted (createsetdb skips ~50% of its disk writes);
+        # reconstruction mirrors _assemble exactly (U->T substitution,
+        # revcomp on minus strand, codon reversal for control DBs)
+        f, t = int(self.orf_from[i]), int(self.orf_to[i])
+        c = self.contig_seq(int(self.orf_contig[i]))
+        if f <= t:
+            seq = c[f:t + 1].copy()
+        else:
+            seq = revcomp_ascii(c[t:f + 1])
+        seq[seq == ord("U")] = ord("T")
+        seq[seq == ord("u")] = ord("t")
+        if self.is_control:
+            from ..ops.revcodon import reverse_by_codon
+            seq = reverse_by_codon(seq)
+        return seq
 
     @property
     def orf_to_set(self) -> np.ndarray:
@@ -134,7 +153,10 @@ class SetDB:
             orf_contig=self.orf_contig, orf_from=self.orf_from,
             orf_to=self.orf_to, orf_complete=self.orf_complete,
             orf_aa_data=self.orf_aa_data, orf_aa_offsets=self.orf_aa_offsets,
-            orf_nucl_data=self.orf_nucl_data,
+            # orf_nucl_data is NOT persisted: it is a pure function of
+            # (contig bytes, coords, control flag) and orf_nucl()
+            # reconstructs it on demand — skipping it halves the
+            # createsetdb disk writes (110 MB at the x500 corpus)
             orf_nucl_offsets=self.orf_nucl_offsets,
             set_size=self.set_size,
         )
@@ -144,11 +166,22 @@ class SetDB:
                 arrays[name] = v
         # raw .npy per array: both zlib (~4s/100x corpus) and the npz
         # zipfile's CRC pass (~3s/500x) cost more than the disk space;
-        # mmap-friendly on load
+        # mmap-friendly on load. tofile releases the GIL, so two writer
+        # threads overlap the page-cache copies on this 2-core host.
         adir = os.path.join(path, "arrays")
         os.makedirs(adir, exist_ok=True)
-        for name, arr in arrays.items():
-            np.save(os.path.join(adir, name + ".npy"), arr)
+        stale = set(os.listdir(adir)) - {n + ".npy" for n in arrays}
+        for name in stale:  # e.g. orf_nucl_data.npy from an old layout
+            try:
+                os.unlink(os.path.join(adir, name))
+            except OSError:
+                pass
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            list(ex.map(lambda kv: np.save(
+                os.path.join(adir, kv[0] + ".npy"), kv[1]),
+                sorted(arrays.items(),
+                       key=lambda kv: -getattr(kv[1], "nbytes", 0))))
         meta = dict(
             version=FORMAT_VERSION,
             is_control=self.is_control,
@@ -175,6 +208,7 @@ class SetDB:
         else:  # npz layout from earlier revisions
             z = np.load(os.path.join(path, "arrays.npz"))
             kw = {k: z[k] for k in z.files}
+        kw.setdefault("orf_nucl_data", None)  # derived; see orf_nucl()
         return cls(
             set_names=meta["set_names"],
             contig_accession=meta["contig_accession"],
@@ -200,27 +234,37 @@ def build_setdb_from_fasta(files: list, spacer_mode: bool = False,
                            taxdump_dir: Optional[str] = None) -> SetDB:
     """FASTA files -> SetDB. One set per input file."""
     contigs, accs, headers, c2s, set_names = [], [], [], [], []
+    scan = _contig_scanner(spacer_mode, orf_min_length, orf_max_length,
+                           translation_table)
 
-    def _read(path):
-        return list(iter_fasta(path))
+    def _read_scan(path):
+        # one task per file: gz/bz2 decompression AND the C ORF kernel
+        # both release the GIL, so read and scan of different files
+        # genuinely overlap across the pool (the reference reads with
+        # kseq then runs extractorfs omp-parallel; here the two phases
+        # fuse into one pipeline)
+        entries = list(iter_fasta(path))
+        return entries, [scan(e.seq) for e in entries]
 
     if len(files) > 1 and (os.cpu_count() or 1) > 1:
-        # gz/bz2 decompression releases the GIL; overlap file reads
         from concurrent.futures import ThreadPoolExecutor
         with ThreadPoolExecutor(max_workers=min(4, os.cpu_count())) as ex:
-            per_file = list(ex.map(_read, files))
+            per_file = list(ex.map(_read_scan, files))
     else:
-        per_file = [_read(p) for p in files]
+        per_file = [_read_scan(p) for p in files]
+    scanned = []
     for fi, path in enumerate(files):
         set_names.append(os.path.basename(path))
-        for e in per_file[fi]:
+        entries, scans = per_file[fi]
+        for e, sc in zip(entries, scans):
             contigs.append(e.seq)
             accs.append(parse_fasta_header_accession(e.header))
             headers.append(e.header)
             c2s.append(fi)
+            scanned.append(sc)
     db = _assemble(contigs, accs, headers, c2s, set_names, spacer_mode,
                    reverse_fragments, orf_min_length, orf_max_length,
-                   translation_table)
+                   translation_table, scanned=scanned)
     _attach_taxonomy(db, tax_mapping_file, taxdump_dir)
     return db
 
@@ -262,16 +306,14 @@ def _attach_taxonomy(db: "SetDB", tax_mapping_file: Optional[str],
     db.taxdump_path = taxdump_dir
 
 
-def _assemble(contigs, accs, headers, c2s, set_names, spacer_mode,
-              reverse_fragments, orf_min_length, orf_max_length, table_id):
+def _contig_scanner(spacer_mode, orf_min_length, orf_max_length, table_id):
+    """Per-contig ORF scan closure: contig -> (orfs, seq, rc) or None."""
     if spacer_mode:
         min_len = 9 if orf_min_length is None else orf_min_length
         start_mode = ANY_TO_STOP
     else:
         min_len = 30 if orf_min_length is None else orf_min_length
         start_mode = START_TO_STOP
-
-    from ..alphabet import revcomp_ascii
 
     def _scan_contig(contig):
         orfs = find_orfs(contig, min_length=min_len,
@@ -290,16 +332,34 @@ def _assemble(contigs, accs, headers, c2s, set_names, spacer_mode,
         else:
             seq = contig
         rc = revcomp_ascii(seq) if bool((orfs.strand < 0).any()) else None
-        return orfs, seq, rc
+        # per-ORF arrays precomputed HERE so the worker pool absorbs
+        # the numpy work and the serial assemble loop only offsets
+        L = len(seq)
+        rel_gstart = orfs.frame_from + np.where(orfs.strand < 0, L, 0)
+        glen = orfs.frame_to - orfs.frame_from + 1
+        complete = (orfs.incomplete_start.astype(np.uint8)
+                    | (orfs.incomplete_end.astype(np.uint8) << 1))
+        return (seq, rc, rel_gstart.astype(np.int64),
+                glen.astype(np.int64), orfs.contig_from, orfs.contig_to,
+                complete)
 
-    # the per-contig scan is dominated by the C ORF kernel (GIL
-    # released during the ctypes call), so threads genuinely overlap
-    if len(contigs) > 8 and (os.cpu_count() or 1) > 1:
-        from concurrent.futures import ThreadPoolExecutor
-        with ThreadPoolExecutor(max_workers=min(4, os.cpu_count())) as ex:
-            scanned = list(ex.map(_scan_contig, contigs, chunksize=16))
-    else:
-        scanned = [_scan_contig(c) for c in contigs]
+    return _scan_contig
+
+
+def _assemble(contigs, accs, headers, c2s, set_names, spacer_mode,
+              reverse_fragments, orf_min_length, orf_max_length, table_id,
+              scanned=None):
+    if scanned is None:
+        _scan_contig = _contig_scanner(spacer_mode, orf_min_length,
+                                       orf_max_length, table_id)
+        # the per-contig scan is dominated by the C ORF kernel (GIL
+        # released during the ctypes call), so threads genuinely overlap
+        if len(contigs) > 8 and (os.cpu_count() or 1) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(max_workers=min(4, os.cpu_count())) as ex:
+                scanned = list(ex.map(_scan_contig, contigs, chunksize=16))
+        else:
+            scanned = [_scan_contig(c) for c in contigs]
 
     orf_contig, orf_from, orf_to, orf_complete = [], [], [], []
     buf_parts, gstart_parts, glen_parts = [], [], []
@@ -307,21 +367,19 @@ def _assemble(contigs, accs, headers, c2s, set_names, spacer_mode,
     for ci, scan in enumerate(scanned):
         if scan is None:
             continue
-        orfs, seq, rc = scan
-        nk = len(orfs.strand)
+        seq, rc, rel_gstart, glen, c_from, c_to, complete = scan
+        nk = len(glen)
         L = len(seq)
         buf_parts.append(seq)
         if rc is not None:
             buf_parts.append(rc)
-        gstart_parts.append(buf_off + orfs.frame_from
-                            + np.where(orfs.strand < 0, L, 0))
-        glen_parts.append(orfs.frame_to - orfs.frame_from + 1)
+        gstart_parts.append(buf_off + rel_gstart)
+        glen_parts.append(glen)
         buf_off += L * (2 if rc is not None else 1)
         orf_contig.append(np.full(nk, ci, dtype=np.int32))
-        orf_from.append(orfs.contig_from)
-        orf_to.append(orfs.contig_to)
-        orf_complete.append(orfs.incomplete_start.astype(np.uint8)
-                            | (orfs.incomplete_end.astype(np.uint8) << 1))
+        orf_from.append(c_from)
+        orf_to.append(c_to)
+        orf_complete.append(complete)
 
     n_sets = len(set_names)
     orf_contig = np.concatenate(orf_contig).astype(np.int32) \

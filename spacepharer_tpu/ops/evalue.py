@@ -25,7 +25,8 @@ from dataclasses import dataclass
 from functools import lru_cache
 
 import numpy as np
-from scipy.special import erfc  # available via jax/scipy baked-in deps
+# scipy.special is imported lazily in _phi: it costs ~0.5 s of process
+# startup and the DB-building commands never touch E-values
 
 _SQRT_HALF = math.sqrt(0.5)
 _CONST_VAL = 1.0 / math.sqrt(2.0 * math.pi)
@@ -133,6 +134,7 @@ def gumbel_params(matrix_name: str, gap_open: int, gap_extend: int,
 
 
 def _phi(x):
+    from scipy.special import erfc  # deferred; see module docstring note
     return 0.5 * erfc(-_SQRT_HALF * x)
 
 

@@ -62,3 +62,21 @@ def test_query_setdb_matches_reference(golden, examples_dir):
         assert ref_aa.seq(k) == db.orf_aa(k).tobytes(), f"orf {k}"
     for s in range(db.n_sets):
         assert int(ref_sizes.text(s).strip()) == int(db.set_size[s])
+
+
+def test_orf_nucl_lazy_reconstruction(examples_dir, tmp_path):
+    """orf_nucl_data is not persisted; a loaded SetDB reconstructs every
+    reading-direction nucleotide sequence (incl. the codon-reversed
+    control transform) byte-identically from contig bytes + coords."""
+    for reverse in (False, True):
+        db = build_setdb_from_fasta(_target_files(examples_dir),
+                                    reverse_fragments=reverse)
+        p = str(tmp_path / f"db_rev{int(reverse)}")
+        db.save(p)
+        assert not os.path.exists(
+            os.path.join(p, "arrays", "orf_nucl_data.npy"))
+        db2 = SetDB.load(p)
+        assert db2.orf_nucl_data is None
+        step = max(1, db.n_orfs // 97)
+        for k in list(range(0, db.n_orfs, step)) + [db.n_orfs - 1]:
+            assert np.array_equal(db.orf_nucl(k), db2.orf_nucl(k)), k
