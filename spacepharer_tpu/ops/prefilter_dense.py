@@ -449,26 +449,46 @@ def device_prefilter(q_all, keys, bias80_all, t_flat_masked, t_starts,
                             ungapped_profile_cap)
     from ..native import get_lib
 
-    batch = build_query_batch(q_all, keys, bias80_all, params)
     t_flat_masked = np.ascontiguousarray(t_flat_masked, dtype=np.uint8)
     t_starts = np.asarray(t_starts, dtype=np.int64)
-    t_bval = target_boundary_valid(t_starts, batch.span)
+    t_bval = target_boundary_valid(t_starts, params.pattern_span)
     kmer_thr = params.kmer_threshold()
     if chunk is None:
         # pallas: one big fixed chunk shape (relay-compile economy);
         # xla (CPU fallback): small chunks bound host memory
         chunk = TILE_T * (8192 if backend == "pallas" else 512)
     kwargs = {"chunk": chunk}
-    if backend == "numpy":
-        gi, gj = match_pairs_numpy(batch, t_flat_masked, t_bval,
-                                   seed_m.scores, kmer_thr, **kwargs)
-    else:
-        gi, gj = match_pairs_device(batch, t_flat_masked, t_bval,
-                                    seed_m.scores, kmer_thr,
-                                    backend=backend, interpret=interpret,
-                                    **kwargs)
-    streams = hits_to_streams(batch, gi, gj, t_flat_masked, t_starts,
-                              enumerator)
+
+    # query-side chunking: at catalog scale (10^5-10^6 query ORFs) one
+    # flat Qexp would be GBs; keys stream through the device in
+    # residue-bounded groups instead (the query-split analog of the
+    # reference's MPI query ranks). Per-key output is unaffected.
+    MAX_Q_ROWS = 1 << 19
+    key_chunks = []
+    cur, cur_rows = [], 0
+    for k in keys:
+        n = len(q_all[k])
+        if cur and cur_rows + n > MAX_Q_ROWS:
+            key_chunks.append(cur)
+            cur, cur_rows = [], 0
+        cur.append(k)
+        cur_rows += n
+    if cur or not key_chunks:
+        key_chunks.append(cur)
+
+    streams = {}
+    for kchunk in key_chunks:
+        batch = build_query_batch(q_all, kchunk, bias80_all, params)
+        if backend == "numpy":
+            gi, gj = match_pairs_numpy(batch, t_flat_masked, t_bval,
+                                       seed_m.scores, kmer_thr, **kwargs)
+        else:
+            gi, gj = match_pairs_device(batch, t_flat_masked, t_bval,
+                                        seed_m.scores, kmer_thr,
+                                        backend=backend,
+                                        interpret=interpret, **kwargs)
+        streams.update(hits_to_streams(batch, gi, gj, t_flat_masked,
+                                       t_starts, enumerator))
 
     # finalize needs the masked sequences (rescoring) but no postings
     n_seqs = len(t_starts) - 1

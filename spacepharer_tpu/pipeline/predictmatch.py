@@ -293,6 +293,12 @@ def search_setdbs(query_db: SetDB, target_db: SetDB,
 # scale corpora, see BASELINE.md).
 _DEVICE_CELLS_THRESHOLD = 3e10
 
+# Cell budget of one [key-block, union] candidate score matrix in
+# _search_tpu (~200 MB of int32 at the default). Catalog-scale searches
+# stream key blocks through the engine instead of materializing an
+# all-keys matrix.
+_MAX_MATRIX_CELLS = 5e7
+
 
 def _run_keyed(fn, keys, n_threads, big: bool) -> dict:
     """Run fn(key) for every key, fork-pooled when `big` (workers share
@@ -413,47 +419,73 @@ def _search_tpu(keys, t_aa, cand, q_all, m40, evaluer, params):
         biases[qkey] = (sw_bias_i8(q, m40) if params.align.comp_bias_corr
                         else np.zeros(len(q), dtype=np.int64))
 
-    union = sorted({t for k in keys for t in cand[k]})
-    col_of = {t: j for j, t in enumerate(union)}
-    scores = None
-    if union:
-        if params.mesh is not None:
-            from ..parallel.sharding import (make_mesh,
-                                             sharded_allpairs_scores)
-            import jax
-            nq_sh, nt_sh = params.mesh
-            mesh = make_mesh(nq_sh, nt_sh,
-                             devices=jax.devices()[:nq_sh * nt_sh])
+    # Candidate scores per key, computed in key BLOCKS so the dense
+    # [block, union] matrix never exceeds a fixed cell budget — at
+    # catalog scale (30k+ query sets, README.md:107-110) a single
+    # all-keys union matrix is the memory wall (round-2 weak #3). Each
+    # block's union only spans the targets ITS queries hit, so sparse
+    # workloads stay small; per-key results compact to exactly
+    # len(cand[k]) scores.
+    cand_scores = {}
+    blocks = []
+    cur, cur_union = [], set()
+    for k in keys:
+        cur.append(k)
+        cur_union.update(cand[k])
+        if len(cur) * max(len(cur_union), 1) > _MAX_MATRIX_CELLS:
+            blocks.append(cur)
+            cur, cur_union = [], set()
+    if cur:
+        blocks.append(cur)
+    mesh = None
+    if params.mesh is not None:
+        from ..parallel.sharding import make_mesh
+        import jax
+        nq_sh, nt_sh = params.mesh
+        mesh = make_mesh(nq_sh, nt_sh,
+                         devices=jax.devices()[:nq_sh * nt_sh])
+    for block in blocks:
+        union = sorted({t for k in block for t in cand[k]})
+        col_of = {t: j for j, t in enumerate(union)}
+        if not union:
+            for k in block:
+                cand_scores[k] = np.zeros(0, dtype=np.int64)
+            continue
+        if mesh is not None:
+            from ..parallel.sharding import sharded_allpairs_scores
             scores = sharded_allpairs_scores(
-                mesh, [q_all[k] for k in keys], [t_aa[t] for t in union],
-                m40.scores, bias_list=[biases[k] for k in keys],
+                mesh, [q_all[k] for k in block],
+                [t_aa[t] for t in union],
+                m40.scores, bias_list=[biases[k] for k in block],
                 gap_open=params.align.gap_open,
                 gap_extend=params.align.gap_extend)
         elif _accelerator_present():
             from ..ops.sw_packed import device_allpairs_scores
             scores = device_allpairs_scores(
-                [q_all[k] for k in keys], [t_aa[t] for t in union],
-                m40.scores, bias_list=[biases[k] for k in keys],
+                [q_all[k] for k in block], [t_aa[t] for t in union],
+                m40.scores, bias_list=[biases[k] for k in block],
                 gap_open=params.align.gap_open,
                 gap_extend=params.align.gap_extend)
         else:
             # no device: bucketed XLA-scan scorer (same exact scores)
             from ..ops.sw_tpu import score_pairs_bucketed
-            pairs = [(k, t) for k in keys for t in cand[k]]
+            pairs = [(k, t) for k in block for t in cand[k]]
             flat = score_pairs_bucketed(
                 pairs, q_all, t_aa, m40.scores, biases,
                 params.align.gap_open, params.align.gap_extend)
-            qrow = {k: i for i, k in enumerate(keys)}
-            scores = np.zeros((len(keys), len(union)), dtype=np.int64)
+            qrow = {k: i for i, k in enumerate(block)}
+            scores = np.zeros((len(block), len(union)), dtype=np.int64)
             for (k, t), sc in zip(pairs, flat):
                 scores[qrow[k], col_of[t]] = sc
-    qrow_of = {k: i for i, k in enumerate(keys)}
+        for qi, k in enumerate(block):
+            cols = np.fromiter((col_of[t] for t in cand[k]),
+                               dtype=np.int64, count=len(cand[k]))
+            cand_scores[k] = np.asarray(scores)[qi, cols].astype(np.int64)
 
     def _realign_one(qkey):
-        qi = qrow_of[qkey]
         out = []
-        for t in cand[qkey]:
-            sc = int(scores[qi, col_of[t]])
+        for ci, t in enumerate(cand[qkey]):
+            sc = int(cand_scores[qkey][ci])
             if float(evaluer.evalue(sc, len(q_all[qkey]))) \
                     > params.align.evalue:
                 continue
