@@ -26,10 +26,49 @@ from .ops.align import AlnParams
 from .ops.prefilter import PrefilterParams
 
 
+def _ranged(kind, lo=None, hi=None, name=""):
+    """Typed + range-validated argparse values — the analog of the
+    reference's per-parameter regex checks (Parameters.h PARAMETER
+    macros carry a regex per flag; Parameters.cpp rejects mismatches
+    with 'Invalid argument'). argparse already types the token; this
+    adds the value-domain check with the same failure mode (error +
+    exit, not silent acceptance)."""
+    def convert(text):
+        try:
+            v = kind(text)
+        except ValueError:
+            raise argparse.ArgumentTypeError(
+                f"Invalid argument: {text!r} is not "
+                f"{'an integer' if kind is int else 'a number'}")
+        if lo is not None and v < lo or hi is not None and v > hi:
+            span = (f">= {lo}" if hi is None else
+                    f"<= {hi}" if lo is None else f"in [{lo}, {hi}]")
+
+            raise argparse.ArgumentTypeError(
+                f"Invalid argument: {name or 'value'} must be {span}, "
+                f"got {text}")
+        return v
+    return convert
+
+
+def _multiparam_checked(text):
+    """Validate MultiParam syntax at parse time (MultiParam.cpp:23-38
+    rejects malformed dual values with 'Invalid argument')."""
+    try:
+        parse_multiparam(text, 0, 0)
+    except ValueError:
+        raise argparse.ArgumentTypeError(
+            f"Invalid argument: {text!r} is not MultiParam syntax "
+            "('16', 'aa:16', 'nucl:10', '16,nucl:10')")
+    return text
+
+
 def _add_predict_flags(p):
-    p.add_argument("--fdr", type=float, default=0.05,
+    p.add_argument("--fdr", type=_ranged(float, 0.0, 1.0, "--fdr"),
+                   default=0.05,
                    help="FDR cutoff for filtering matches")
-    p.add_argument("--tax-fdr", type=float, default=0.02,
+    p.add_argument("--tax-fdr", type=_ranged(float, 0.0, 1.0, "--tax-fdr"),
+                   default=0.02,
                    help="FDR cutoff for taxonomy report")
     p.add_argument("--fmt", type=int, default=1, choices=(0, 1, 2),
                    help="0: matches, 1: +hits, 2: +nucl alignment")
@@ -39,26 +78,37 @@ def _add_predict_flags(p):
     p.add_argument("--restrict-ranks-mode", type=int, default=1, choices=(0, 1))
     p.add_argument("--rank-min-seq-ids", type=str,
                    default="0.86,0.84,0.82,0.80,0.78,0.76,0.74,0.72")
-    p.add_argument("-s", "--sensitivity", type=float, default=5.7)
-    p.add_argument("-k", "--kmer-size", type=int, default=6)
+    p.add_argument("-s", "--sensitivity",
+                   type=_ranged(float, 1.0, 9.5, "-s"), default=5.7)
+    p.add_argument("-k", "--kmer-size",
+                   type=_ranged(int, 4, 8, "-k"), default=6)
     p.add_argument("--spaced-kmer-pattern", type=str, default="11011101")
-    p.add_argument("--max-seqs", type=int, default=1500)
-    p.add_argument("-e", "--evalue", type=float, default=200.0)
-    p.add_argument("--gap-open", type=str, default="16,nucl:10",
+    p.add_argument("--max-seqs",
+                   type=_ranged(int, 1, None, "--max-seqs"), default=1500)
+    p.add_argument("-e", "--evalue",
+                   type=_ranged(float, 0.0, None, "-e"), default=200.0)
+    p.add_argument("--gap-open", type=_multiparam_checked,
+                   default="16,nucl:10",
                    help="gap open cost; MultiParam aa/nucl syntax "
                         "accepted: '16', 'aa:16', '16,nucl:10'")
-    p.add_argument("--gap-extend", type=str, default="2,nucl:2",
+    p.add_argument("--gap-extend", type=_multiparam_checked,
+                   default="2,nucl:2",
                    help="gap extension cost (MultiParam syntax as "
                         "--gap-open)")
-    p.add_argument("--start-sens", type=float, default=4.0,
+    p.add_argument("--start-sens",
+                   type=_ranged(float, 1.0, 9.5, "--start-sens"), default=4.0,
                    help="first sensitivity of the iterative search")
-    p.add_argument("--sens-steps", type=int, default=1,
+    p.add_argument("--sens-steps",
+                   type=_ranged(int, 1, 32, "--sens-steps"), default=1,
                    help="number of sensitivity steps from --start-sens "
                         "to -s (queries with >= 2 alignments stop early)")
-    p.add_argument("--min-ungapped-score", type=int, default=15)
+    p.add_argument("--min-ungapped-score",
+                   type=_ranged(int, 0, None, "--min-ungapped-score"),
+                   default=15)
     p.add_argument("--mask", type=int, default=1, choices=(0, 1))
     p.add_argument("--comp-bias-corr", type=int, default=1, choices=(0, 1))
-    p.add_argument("--threads", type=int, default=0, help="0 = auto")
+    p.add_argument("--threads", type=_ranged(int, 0, None, "--threads"),
+                   default=0, help="0 = auto")
     p.add_argument("--use-tpu", type=int, default=-1, choices=(-1, 0, 1),
                    help="score alignment candidates on the accelerator "
                         "(-1 auto: on when a device is attached and the "
@@ -68,7 +118,9 @@ def _add_predict_flags(p):
                    help="k-mer matching engine: host index walk or dense "
                         "device (MXU) matching; auto picks by workload "
                         "(output is byte-identical either way)")
-    p.add_argument("--split-memory-limit", type=int, default=0,
+    p.add_argument("--split-memory-limit",
+                   type=_ranged(int, 0, None, "--split-memory-limit"),
+                   default=0,
                    metavar="MB",
                    help="RAM budget for the target k-mer index; above "
                         "it the target DB streams through splits with a "
@@ -92,16 +144,22 @@ def _add_predict_flags(p):
 
 
 def _add_createsetdb_flags(p):
-    p.add_argument("-v", "--verbosity", type=int, default=3,
+    p.add_argument("-v", "--verbosity", type=_ranged(int, 0, 3, "-v"),
+                   default=3,
                    help="0: quiet, 1: +errors, 2: +warnings, 3: +info")
     p.add_argument("--reverse-fragments", type=int, default=0, choices=(0, 1))
     p.add_argument("--extractorf-spacer", type=int, default=0, choices=(0, 1))
     p.add_argument("--tax-mapping-file", type=str, default=None)
     p.add_argument("--ncbi-tax-dump", type=str, default=None)
-    p.add_argument("--translation-table", type=int, default=1)
-    p.add_argument("--min-length", type=int, default=None,
+    p.add_argument("--translation-table",
+                   type=_ranged(int, 1, 31, "--translation-table"),
+                   default=1)
+    p.add_argument("--min-length", type=_ranged(int, 1, None, "--min-length"),
+                   default=None,
                    help="min ORF length in codons (default 30; spacer mode 9)")
-    p.add_argument("--max-length", type=int, default=32734)
+    p.add_argument("--max-length",
+                   type=_ranged(int, 1, 32734, "--max-length"),
+                   default=32734)
 
 
 def parse_multiparam(value, default_aa: int, default_nucl: int):
@@ -185,6 +243,8 @@ def cmd_createsetdb(argv):
     args = p.parse_args(argv)
     if len(args.inputs) < 3:
         p.error("need <fasta...> <outDB> <tmpDir>")
+    from .logging import set_verbosity
+    set_verbosity(args.verbosity)
     *files, out_db, tmp = args.inputs
     os.makedirs(tmp, exist_ok=True)
     t0 = time.time()
@@ -352,7 +412,9 @@ def cmd_multihitdb(argv):
     p.add_argument("inputs", nargs="+", help="FASTA files, outDB, tmpDir")
     p.add_argument("--min-length", type=int, default=30)
     p.add_argument("--max-length", type=int, default=32734)
-    p.add_argument("--translation-table", type=int, default=1)
+    p.add_argument("--translation-table",
+                   type=_ranged(int, 1, 31, "--translation-table"),
+                   default=1)
     args = p.parse_args(argv)
     if len(args.inputs) < 3:
         p.error("need <fasta...> <outDB> <tmpDir>")
@@ -380,11 +442,14 @@ def cmd_multihitsearch(argv):
     p.add_argument("output")
     p.add_argument("tmpDir")
     p.add_argument("-e", "--evalue", type=float, default=100.0)
-    p.add_argument("-s", "--sensitivity", type=float, default=5.7)
+    p.add_argument("-s", "--sensitivity",
+                   type=_ranged(float, 1.0, 9.5, "-s"), default=5.7)
     p.add_argument("--start-sens", type=float, default=4.0)
-    p.add_argument("--sens-steps", type=int, default=1,
+    p.add_argument("--sens-steps",
+                   type=_ranged(int, 1, 32, "--sens-steps"), default=1,
                    help="iterative search steps (blastp.sh STEPS loop)")
-    p.add_argument("--max-seqs", type=int, default=1500)
+    p.add_argument("--max-seqs",
+                   type=_ranged(int, 1, None, "--max-seqs"), default=1500)
     p.add_argument("--threads", type=int, default=0)
     p.add_argument("--simple-best-hit", type=int, default=1, choices=(0, 1))
     args = p.parse_args(argv)
@@ -423,8 +488,10 @@ def cmd_createindex(argv):
     p = argparse.ArgumentParser(prog="spacepharer createindex")
     p.add_argument("setDB")
     p.add_argument("tmpDir")
-    p.add_argument("-s", "--sensitivity", type=float, default=5.7)
-    p.add_argument("-k", "--kmer-size", type=int, default=6)
+    p.add_argument("-s", "--sensitivity",
+                   type=_ranged(float, 1.0, 9.5, "-s"), default=5.7)
+    p.add_argument("-k", "--kmer-size",
+                   type=_ranged(int, 4, 8, "-k"), default=6)
     p.add_argument("--spaced-kmer-pattern", type=str, default="11011101")
     p.add_argument("--mask", type=int, default=1, choices=(0, 1))
     args = p.parse_args(argv)

@@ -237,6 +237,9 @@ def build_setdb_from_fasta(files: list, spacer_mode: bool = False,
     scan = _contig_scanner(spacer_mode, orf_min_length, orf_max_length,
                            translation_table)
 
+    from ..logging import Progress
+    prog = Progress(total=len(files))
+
     def _read_scan(path):
         # one task per file: gz/bz2 decompression AND the C ORF kernel
         # both release the GIL, so read and scan of different files
@@ -244,7 +247,9 @@ def build_setdb_from_fasta(files: list, spacer_mode: bool = False,
         # kseq then runs extractorfs omp-parallel; here the two phases
         # fuse into one pipeline)
         entries = list(iter_fasta(path))
-        return entries, [scan(e.seq) for e in entries]
+        out = entries, [scan(e.seq) for e in entries]
+        prog.update()
+        return out
 
     if len(files) > 1 and (os.cpu_count() or 1) > 1:
         from concurrent.futures import ThreadPoolExecutor
@@ -252,6 +257,7 @@ def build_setdb_from_fasta(files: list, spacer_mode: bool = False,
             per_file = list(ex.map(_read_scan, files))
     else:
         per_file = [_read_scan(p) for p in files]
+    prog.done()
     scanned = []
     for fi, path in enumerate(files):
         set_names.append(os.path.basename(path))

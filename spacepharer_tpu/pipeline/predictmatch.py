@@ -261,7 +261,8 @@ def search_setdbs(query_db: SetDB, target_db: SetDB,
             cand = {k: [h.target for h in hits_all[k]] for k in keys}
         else:
             cand = _run_keyed(_prefilter_one, keys, n_threads,
-                              len(keys) * t_res > 2e10)
+                              len(keys) * t_res > 2e10,
+                              label="prefilter ")
         cells = sum(
             len(q_all[k]) * sum(len(t_aa[t]) for t in cand[k])
             for k in keys)
@@ -277,10 +278,11 @@ def search_setdbs(query_db: SetDB, target_db: SetDB,
                 results = align_query(q_all[qkey], cand[qkey], t_aa, m40,
                                       params.align, evaluer)
                 return [r.row_fields() for r in results]
-            prot = _run_keyed(_align_one, keys, n_threads, cells > 2e10)
+            prot = _run_keyed(_align_one, keys, n_threads, cells > 2e10,
+                              label="align ")
     else:
         prot = _run_keyed(_one_query, keys, n_threads,
-                          len(keys) * t_res > 2e10)
+                          len(keys) * t_res > 2e10, label="search ")
 
     if save_thread is not None:
         save_thread.join()
@@ -300,24 +302,41 @@ _DEVICE_CELLS_THRESHOLD = 3e10
 _MAX_MATRIX_CELLS = 5e7
 
 
-def _run_keyed(fn, keys, n_threads, big: bool) -> dict:
+def _run_keyed(fn, keys, n_threads, big: bool, label=None) -> dict:
     """Run fn(key) for every key, fork-pooled when `big` (workers share
     the index read-only via COW, like the reference's OpenMP threads
-    over a shared mmap'd index, Prefiltering.cpp:776-800)."""
+    over a shared mmap'd index, Prefiltering.cpp:776-800). A label
+    attaches Debug::Progress-style feedback for long stages."""
+    from ..logging import Progress
+    prog = Progress(total=len(keys), label=label) if label else None
     if big and n_threads > 1 and len(keys) > 16:
         import multiprocessing as mp
         global _worker_fn
         _worker_fn = fn
         ctx = mp.get_context("fork")
-        chunks = [keys[i::n_threads] for i in range(n_threads)]
-        with ctx.Pool(n_threads) as pool:
-            parts = pool.map(_run_chunk, chunks)
+        # many small chunks streamed with imap: load-balances uneven
+        # queries and lets the parent tick progress as results land
+        csize = max(1, min(256, len(keys) // (n_threads * 8)))
+        chunks = [keys[i:i + csize] for i in range(0, len(keys), csize)]
         out = {}
-        for chunk, rows_list in zip(chunks, parts):
-            for qkey, rows in zip(chunk, rows_list):
-                out[qkey] = rows
+        with ctx.Pool(n_threads) as pool:
+            for chunk, rows_list in zip(chunks,
+                                        pool.imap(_run_chunk, chunks)):
+                for qkey, rows in zip(chunk, rows_list):
+                    out[qkey] = rows
+                if prog:
+                    prog.update(len(chunk))
+        if prog:
+            prog.done()
         return {k: out[k] for k in keys}
-    return {k: fn(k) for k in keys}
+    out = {}
+    for k in keys:
+        out[k] = fn(k)
+        if prog:
+            prog.update()
+    if prog:
+        prog.done()
+    return out
 
 
 def _nucl_merge(prot: dict, query_db: SetDB, target_db: SetDB,
@@ -502,7 +521,8 @@ def _search_tpu(keys, t_aa, cand, q_all, m40, evaluer, params):
     n_threads = params.threads if params.threads > 0 else (os.cpu_count() or 1)
     surv_cells = sum(len(q_all[k]) * sum(len(t_aa[t]) for t in cand[k])
                      for k in keys)
-    return _run_keyed(_realign_one, keys, n_threads, surv_cells > 2e9)
+    return _run_keyed(_realign_one, keys, n_threads, surv_cells > 2e9,
+                      label="align ")
 
 
 def _aggregate_chain(result: dict, query_db: SetDB, target_db: SetDB):

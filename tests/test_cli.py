@@ -1,4 +1,5 @@
 """CLI smoke tests: the command surface end-to-end via subprocess."""
+import glob
 import os
 import subprocess
 import sys
@@ -99,3 +100,32 @@ def test_cli_createindex_speeds_search(workdir, examples_dir):
     a = open(os.path.join(workdir, "out_idx.tsv")).read()
     b = open(os.path.join(workdir, "out.tsv")).read()
     assert a == b
+
+
+def test_flag_value_validation(workdir, examples_dir):
+    """Out-of-range flag values fail with 'Invalid argument' + nonzero
+    exit (the reference's per-parameter regex rejection,
+    Parameters.h/Parameters.cpp)."""
+    spacers = [os.path.join(examples_dir, "CP003088.fas")]
+    bad = [["--fdr", "1.5"], ["-s", "0.5"], ["-s", "12"],
+           ["-k", "3"], ["--max-seqs", "0"], ["--threads", "-2"],
+           ["--gap-open", "aa:x"], ["--sens-steps", "0"],
+           ["-e", "-1"]]
+    for flags in bad:
+        r = run_cli(["easy-predict"] + spacers
+                    + ["targets", "bad.tsv", "tmp"] + flags, workdir)
+        assert r.returncode != 0, flags
+        assert "Invalid argument" in r.stderr, (flags, r.stderr[-300:])
+
+
+def test_createsetdb_progress_lines(tmp_path, examples_dir):
+    """createsetdb reports Debug::Progress-style feedback on stderr at
+    the default verbosity and is silent at -v 0."""
+    genomes = sorted(glob.glob(os.path.join(examples_dir, "GCA_*.fna.gz")))
+    r = run_cli(["createsetdb"] + genomes + ["t1", "tmp"], tmp_path)
+    assert r.returncode == 0
+    assert "items" in r.stderr
+    r = run_cli(["createsetdb"] + genomes + ["t2", "tmp", "-v", "0"],
+                tmp_path)
+    assert r.returncode == 0
+    assert "items" not in r.stderr
