@@ -137,10 +137,19 @@ def search_setdbs(query_db: SetDB, target_db: SetDB,
             from ..ops.prefilter import persisted_index_exists
             has_idx = bool(target_db.path) and persisted_index_exists(
                 target_db.path, params.prefilter)
-            # fresh index: the dense pass replaces the whole postings
-            # build, so it pays off early; with a persisted index the
-            # host walk is already cheap and the bar is much higher
-            use_dev_pf = nk_total * t_res > (1e12 if has_idx else 1e10)
+            # The dense engine is O(query k-mers x target residues) on
+            # the MXU (~256 bf16 flops per cell pair) while the host
+            # postings walk is output-sensitive — so the device pays
+            # off ONLY for small query sides against big fresh targets
+            # (it then replaces the whole postings build). A catalog-
+            # scale query side (10^5+ k-mers) makes the dense product
+            # astronomically larger than the host walk; cap it by
+            # estimated device seconds. ~2e14 bf16 flops/s sustained
+            # => cells/s ~ 8e11.
+            dense_cells = nk_total * t_res
+            dense_seconds = dense_cells * 256 / 2e14
+            use_dev_pf = (dense_cells > (1e12 if has_idx else 1e10)
+                          and dense_seconds < 15.0)
 
     index = None
     save_thread = None
