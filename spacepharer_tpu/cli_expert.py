@@ -368,6 +368,43 @@ def cmd_rescorediagonal(argv):
     return 0
 
 
+def cmd_searchnucl(argv):
+    """searchnucl <queryFasta> <targetFasta> <out.m8> — blastn-mode
+    nucleotide search: exact k-mer candidates + banded ksw2-parity
+    gapped alignment (mmseqs search --search-type 3,
+    Search.cpp:32-175; kernel parity in tests/test_banded_nucl.py)."""
+    p = argparse.ArgumentParser(prog="spacepharer searchnucl")
+    p.add_argument("queryFasta")
+    p.add_argument("targetFasta")
+    p.add_argument("output")
+    p.add_argument("-e", "--evalue", type=float, default=1e-3)
+    p.add_argument("-k", "--kmer-size", type=int, default=15)
+    p.add_argument("--max-seqs", type=int, default=300)
+    p.add_argument("--gap-open", type=int, default=5)
+    p.add_argument("--gap-extend", type=int, default=2)
+    p.add_argument("--zdrop", type=int, default=40)
+    p.add_argument("--strand", type=int, default=2, choices=(0, 1, 2),
+                   help="0: minus, 1: plus, 2: both")
+    args = p.parse_args(argv)
+    from .io.fasta import iter_fasta
+    from .pipeline.searchnucl import search_nucl
+    q_entries = [(e.name, e.seq) for e in iter_fasta(args.queryFasta)]
+    t_entries = [(e.name, e.seq) for e in iter_fasta(args.targetFasta)]
+    res = search_nucl(q_entries, t_entries, k=args.kmer_size,
+                      evalue=args.evalue, gap_open=args.gap_open,
+                      gap_extend=args.gap_extend, zdrop=args.zdrop,
+                      max_seqs=args.max_seqs, strand=args.strand)
+    n = 0
+    with open(args.output, "w") as fh:
+        for qname, _ in q_entries:
+            for h in res.get(qname, []):
+                fh.write(h.m8_row() + "\n")
+                n += 1
+    print(f"searchnucl: {n} hits over {len(q_entries)} queries "
+          f"-> {args.output}")
+    return 0
+
+
 EXPERT_COMMANDS = {
     "reverseseqbycodon": cmd_reverseseqbycodon,
     "combinepvalperset": cmd_combinepvalperset,
@@ -384,4 +421,5 @@ EXPERT_COMMANDS = {
     "findpam": cmd_findpam,
     "summarizeresults": cmd_summarizeresults,
     "restrictranks": cmd_restrictranks,
+    "searchnucl": cmd_searchnucl,
 }

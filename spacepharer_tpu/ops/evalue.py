@@ -87,6 +87,16 @@ _PARAMS = {
         0.18481499377626534, 1.7126891360391483,
         0.18481499377626534, 1.7126891360391483,
         0.18283871043913499, 1.7838353361758408),
+    # blastn-mode defaults (gap 5/2, the nucleotide alignment operating
+    # point of mmseqs search --search-type 3); extracted via the
+    # reference's ALP initGapped path (seed 42, evprobe)
+    ("nucleotide.out", 5, 2, True): GumbelParams(
+        0.62092274139392822, 0.3517759798820162,
+        0.74528059208662512, -0.71027220445456996,
+        0.74528059208662512, -0.71027220445456996,
+        1.013524340767457, -2.522648648678306,
+        1.013524340767457, -2.522648648678306,
+        1.0031949332622874, -2.378036943605931),
     ("nucleotide.out", 10, 2, True): GumbelParams(
         0.63361984397325744, 0.42150719938226583,
         0.68666204026925159, 0.18923575026627315,
