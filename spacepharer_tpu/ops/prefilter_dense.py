@@ -460,10 +460,13 @@ def device_prefilter(q_all, keys, bias80_all, t_flat_masked, t_starts,
     kwargs = {"chunk": chunk}
 
     # query-side chunking: at catalog scale (10^5-10^6 query ORFs) one
-    # flat Qexp would be GBs; keys stream through the device in
-    # residue-bounded groups instead (the query-split analog of the
-    # reference's MPI query ranks). Per-key output is unaffected.
-    MAX_Q_ROWS = 1 << 19
+    # flat Qexp would be GBs and the counts-kernel grid (ntt x nqt)
+    # would need a fresh Mosaic compile per query-bucket shape; keys
+    # stream through the device in residue-bounded groups instead (the
+    # query-split analog of the reference's MPI query ranks), keeping
+    # nqt <= 128 so every chunk reuses one compiled grid shape.
+    # Per-key output is unaffected.
+    MAX_Q_ROWS = 1 << 15
     key_chunks = []
     cur, cur_rows = [], 0
     for k in keys:

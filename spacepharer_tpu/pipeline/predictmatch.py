@@ -148,8 +148,13 @@ def search_setdbs(query_db: SetDB, target_db: SetDB,
             # => cells/s ~ 8e11.
             dense_cells = nk_total * t_res
             dense_seconds = dense_cells * 256 / 2e14
+            # nk cap: the counts-kernel grid scales with the k-mer row
+            # count; past ~32k rows both the Mosaic compile and the
+            # MXU product outgrow the host walk (which is
+            # output-sensitive in nk)
             use_dev_pf = (dense_cells > (1e12 if has_idx else 1e10)
-                          and dense_seconds < 15.0)
+                          and dense_seconds < 15.0
+                          and nk_total <= (1 << 15))
 
     index = None
     save_thread = None
@@ -355,7 +360,9 @@ def _nucl_merge(prot: dict, query_db: SetDB, target_db: SetDB,
     if not params.perform_nucl_aln:
         return prot
 
-    q_nucl = {k: query_db.orf_nucl(k) for k in prot.keys()}
+    # nucl sequences only for queries that HAVE rows (at catalog scale
+    # almost all queries have none; gathering all 10^5+ is pure waste)
+    q_nucl = {k: query_db.orf_nucl(k) for k, rows in prot.items() if rows}
     t_nucl = {int(r[0]): None for rows in prot.values() for r in rows}
     for tkey in t_nucl:
         t_nucl[tkey] = target_db.orf_nucl(tkey)

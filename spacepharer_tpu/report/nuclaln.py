@@ -31,6 +31,9 @@ def protein_aln_to_nucl(entries: dict, q_nucl_seqs, t_nucl_seqs,
     nucl_m = load_nucleotide_matrix()
     out = {}
     for qkey, rows in entries.items():
+        if not rows:
+            out[qkey] = []
+            continue
         q_nucl = np.asarray(q_nucl_seqs[qkey])
         q_num = encode_nucl(q_nucl)
         new_rows = []

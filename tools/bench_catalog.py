@@ -1,0 +1,86 @@
+#!/usr/bin/env python3
+"""Catalog-scale easy-predict bench with a peak-RSS assertion.
+
+Reproducible driver for the Shmakov-shaped scale proof (README.md:
+107-110: >30k spacer sets): builds the target SetDBs, runs easy-predict
+over a spacer-set catalog under rusage accounting, and prints one JSON
+line with wall times and the peak RSS of the whole child tree.
+
+    python tools/make_scale_corpus.py 100 /tmp/scale100
+    python tools/make_catalog_corpus.py 30000 /tmp/catalog30k
+    python tools/bench_catalog.py /tmp/catalog30k /tmp/scale100 \
+        /tmp/cat30k_run --split-memory-limit 2000 --rss-limit-mb 6000
+
+A nonzero exit means the RSS cap was exceeded or a stage failed.
+"""
+import argparse
+import glob
+import json
+import os
+import resource
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SPACEPHARER = os.path.join(REPO, "bin", "spacepharer")
+
+
+def run(args, cwd):
+    t0 = time.time()
+    r = subprocess.run(args, cwd=cwd, capture_output=True, text=True)
+    dt = time.time() - t0
+    if r.returncode != 0:
+        sys.stderr.write(r.stdout[-2000:] + r.stderr[-2000:])
+        sys.exit(f"stage failed: {' '.join(args[:3])}...")
+    return dt
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("catalog", help="dir of spacer-set .fas files")
+    ap.add_argument("genomes", help="dir of target genome .fna.gz files")
+    ap.add_argument("workdir")
+    ap.add_argument("--split-memory-limit", type=int, default=0)
+    ap.add_argument("--rss-limit-mb", type=int, default=0,
+                    help="fail if the child tree's peak RSS exceeds this")
+    ap.add_argument("--extra", nargs="*", default=[],
+                    help="extra easy-predict flags")
+    args = ap.parse_args()
+
+    os.makedirs(args.workdir, exist_ok=True)
+    genomes = sorted(glob.glob(os.path.join(args.genomes, "*.fna.gz")))
+    sets = sorted(glob.glob(os.path.join(args.catalog, "*.fas")))
+    assert genomes and sets, "empty corpus"
+
+    t_build = run([SPACEPHARER, "createsetdb"] + genomes
+                  + ["targets", "tmp"], args.workdir)
+    t_ctrl = run([SPACEPHARER, "createsetdb"] + genomes
+                 + ["targets_rev", "tmp", "--reverse-fragments", "1"],
+                 args.workdir)
+    flags = list(args.extra)
+    if args.split_memory_limit:
+        flags += ["--split-memory-limit", str(args.split_memory_limit)]
+    t_pred = run([SPACEPHARER, "easy-predict"] + sets
+                 + ["targets", "out.tsv", "tmp", "-v", "2"] + flags,
+                 args.workdir)
+    peak_mb = resource.getrusage(resource.RUSAGE_CHILDREN).ru_maxrss / 1024
+    n_hits = sum(1 for line in open(os.path.join(args.workdir, "out.tsv"))
+                 if line.startswith("#"))
+    out = {
+        "n_sets": len(sets), "n_genomes": len(genomes),
+        "createsetdb_s": round(t_build, 2),
+        "control_s": round(t_ctrl, 2),
+        "easy_predict_s": round(t_pred, 2),
+        "peak_rss_mb": round(peak_mb, 1),
+        "n_matched_sets": n_hits,
+        "split_memory_limit_mb": args.split_memory_limit,
+    }
+    print(json.dumps(out))
+    if args.rss_limit_mb and peak_mb > args.rss_limit_mb:
+        sys.exit(f"peak RSS {peak_mb:.0f} MB exceeds cap "
+                 f"{args.rss_limit_mb} MB")
+
+
+if __name__ == "__main__":
+    main()
