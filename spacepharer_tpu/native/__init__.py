@@ -9,7 +9,8 @@ import sys
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _LIB_PATH = os.path.join(_DIR, "_spacepharer_native.so")
 _SOURCES = [os.path.join(_DIR, "tantan_native.c"),
-            os.path.join(_DIR, "sw_native.c")]
+            os.path.join(_DIR, "sw_native.c"),
+            os.path.join(_DIR, "search_native.c")]
 
 _lib = None
 _tried = False
@@ -107,6 +108,48 @@ def get_lib():
         ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32,
         ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+    ]
+    lib.prefilter_batch.restype = ctypes.c_int64
+    lib.prefilter_batch.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,          # queries
+        ctypes.c_void_p, ctypes.c_int32, ctypes.c_void_p,          # seed
+        ctypes.c_int32,                                            # bias on
+        ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32,           # pattern
+        ctypes.c_int32, ctypes.c_int32,                            # thr, X
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,          # uniq
+        ctypes.c_void_p, ctypes.c_void_p,                          # postings
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,          # targets
+        ctypes.c_void_p, ctypes.c_int32,                           # ungapped
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,            # params
+    ]
+    lib.prefilter_batch_fetch.restype = ctypes.c_int64
+    lib.prefilter_batch_fetch.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+    ]
+    lib.prefilter_batch_free.restype = None
+    lib.prefilter_batch_free.argtypes = []
+    lib.align_forward_batch.restype = None
+    lib.align_forward_batch.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,          # queries
+        ctypes.c_void_p, ctypes.c_int32, ctypes.c_void_p,          # matrix
+        ctypes.c_int32,                                            # bias on
+        ctypes.c_void_p, ctypes.c_void_p,                          # targets
+        ctypes.c_void_p, ctypes.c_void_p,                          # cands
+        ctypes.c_int32, ctypes.c_int32,                            # gaps
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,         # out
+    ]
+    lib.align_traceback_batch.restype = None
+    lib.align_traceback_batch.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p,                          # queries
+        ctypes.c_void_p, ctypes.c_int32, ctypes.c_void_p,          # matrix
+        ctypes.c_int32,                                            # bias on
+        ctypes.c_void_p, ctypes.c_void_p,                          # targets
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,          # pairs
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,         # fwd res
+        ctypes.c_int32, ctypes.c_int32,                            # gaps
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,         # out
+        ctypes.c_void_p, ctypes.c_void_p,                          # out
+        ctypes.c_void_p, ctypes.c_void_p,                          # bt
     ]
     _lib = lib
     return _lib

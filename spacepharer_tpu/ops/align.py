@@ -422,6 +422,145 @@ def batch_forward_scores(q_num: np.ndarray, targets: list,
 X_COL = 20  # X column index used for target padding (masked by t_len)
 
 
+def align_query_batch(q_list: list, cand_lists: list, t_flat: np.ndarray,
+                      t_starts: np.ndarray, matrix: ScoringMatrix,
+                      params: AlnParams, evaluer: EvalueComputer) -> list:
+    """Align MANY queries against their candidate lists in two native
+    calls; returns a list of accepted-``AlnResult`` lists parallel to
+    ``q_list``, each bit-identical to ``align_query``.
+
+    Batched analog of Alignment::run's OpenMP query loop
+    (lib/mmseqs/src/alignment/Alignment.cpp:255-): one C pass computes
+    every candidate's forward SW score (ssw_align semantics), the
+    E-value screen runs vectorized in NumPy (exact same float path as
+    the per-query driver), and a second C pass runs the reverse pass +
+    banded backtrace (banded_sw, StripedSmithWaterman.cpp:781-980) on
+    survivors only. Falls back per query for non-default acceptance
+    parameters (cov/seq-id/accept caps) or without the native lib."""
+    lib = _native_lib()
+    batched_ok = (params.max_accept == INT_MAX
+                  and params.max_rejected == INT_MAX
+                  and params.cov_thr == 0 and params.seq_id_thr == 0
+                  and params.aln_len_thr == 0)
+    if lib is None or not batched_ok:
+        t_starts = np.asarray(t_starts)
+        t_seqs = [t_flat[t_starts[i]:t_starts[i + 1]]
+                  for i in range(len(t_starts) - 1)]
+        return [align_query(q, cands, t_seqs, matrix, params, evaluer)
+                for q, cands in zip(q_list, cand_lists)]
+
+    from .bias import expected_score_tab
+    nq = len(q_list)
+    qstarts = np.zeros(nq + 1, dtype=np.int64)
+    np.cumsum([len(q) for q in q_list], out=qstarts[1:])
+    qflat = (np.ascontiguousarray(np.concatenate(q_list), dtype=np.uint8)
+             if nq and qstarts[-1] else np.zeros(1, np.uint8))
+    sub32 = np.ascontiguousarray(matrix.scores, dtype=np.int32)
+    etab = np.ascontiguousarray(expected_score_tab(matrix))
+    t_flat = np.ascontiguousarray(t_flat, dtype=np.uint8)
+    t_starts = np.ascontiguousarray(t_starts, dtype=np.int64)
+    cand_off = np.zeros(nq + 1, dtype=np.int64)
+    np.cumsum([len(c) for c in cand_lists], out=cand_off[1:])
+    n_pairs = int(cand_off[-1])
+    if n_pairs == 0:
+        return [[] for _ in q_list]
+    cand_t = np.ascontiguousarray(
+        np.concatenate([np.asarray(c, dtype=np.int32)
+                        for c in cand_lists if len(c)]), dtype=np.int32)
+
+    score = np.empty(n_pairs, dtype=np.int32)
+    tend = np.empty(n_pairs, dtype=np.int32)
+    qend = np.empty(n_pairs, dtype=np.int32)
+    lib.align_forward_batch(
+        qflat.ctypes.data, qstarts.ctypes.data, nq,
+        sub32.ctypes.data, sub32.shape[1], etab.ctypes.data,
+        int(params.comp_bias_corr),
+        t_flat.ctypes.data, t_starts.ctypes.data,
+        cand_t.ctypes.data, cand_off.ctypes.data,
+        params.gap_open, params.gap_extend,
+        score.ctypes.data, tend.ctypes.data, qend.ctypes.data)
+
+    # E-value screen, vectorized over all pairs (same float path as the
+    # per-query survivors computation in align_query)
+    qlens = np.diff(qstarts)
+    pair_q = np.repeat(np.arange(nq, dtype=np.int32),
+                       np.diff(cand_off).astype(np.int64))
+    evals = evaluer.evalue(score, qlens[pair_q])
+    surv = np.flatnonzero((evals <= params.evalue) & (tend >= 0))
+    results = [[] for _ in q_list]
+    if len(surv) == 0:
+        return results
+
+    s_q = np.ascontiguousarray(pair_q[surv], dtype=np.int32)
+    s_t = np.ascontiguousarray(cand_t[surv], dtype=np.int32)
+    s_score = np.ascontiguousarray(score[surv], dtype=np.int32)
+    s_tend = np.ascontiguousarray(tend[surv], dtype=np.int32)
+    s_qend = np.ascontiguousarray(qend[surv], dtype=np.int32)
+    n_s = len(surv)
+    bt_off = np.zeros(n_s + 1, dtype=np.int64)
+    np.cumsum(s_qend.astype(np.int64) + s_tend + 4, out=bt_off[1:])
+    bt_buf = np.empty(int(bt_off[-1]), dtype=np.uint8)
+    o_qstart = np.empty(n_s, dtype=np.int32)
+    o_tstart = np.empty(n_s, dtype=np.int32)
+    o_rscore = np.empty(n_s, dtype=np.int32)
+    o_aaids = np.empty(n_s, dtype=np.int32)
+    o_btlen = np.empty(n_s, dtype=np.int32)
+    lib.align_traceback_batch(
+        qflat.ctypes.data, qstarts.ctypes.data,
+        sub32.ctypes.data, sub32.shape[1], etab.ctypes.data,
+        int(params.comp_bias_corr),
+        t_flat.ctypes.data, t_starts.ctypes.data,
+        s_q.ctypes.data, s_t.ctypes.data, n_s,
+        s_score.ctypes.data, s_tend.ctypes.data, s_qend.ctypes.data,
+        params.gap_open, params.gap_extend,
+        o_qstart.ctypes.data, o_tstart.ctypes.data, o_rscore.ctypes.data,
+        o_aaids.ctypes.data, o_btlen.ctypes.data,
+        bt_buf.ctypes.data, bt_off.ctypes.data)
+
+    surv_eval = evals[surv]
+    bits = evaluer.bit_score(s_score)
+    t_lens = np.diff(t_starts)
+    for i in range(n_s):
+        qi = int(s_q[i])
+        lq = int(qlens[qi])
+        sc = int(s_score[i])
+        if o_btlen[i] < 0:
+            # traceback error: per-pair fallback (raises like the
+            # per-query driver would)
+            bias = (sw_bias_i8(q_list[qi], matrix)
+                    if params.comp_bias_corr else None)
+            res = sw_align(q_list[qi], t_flat[t_starts[s_t[i]]:
+                                              t_starts[s_t[i] + 1]],
+                           matrix, params, evaluer, bias)
+            if res is None:
+                continue
+            res.target = int(s_t[i])
+            results[qi].append(res)
+            continue
+        assert int(o_rscore[i]) == sc, (int(o_rscore[i]), sc)
+        q_start = int(o_qstart[i])
+        q_end = int(s_qend[i])
+        t_start = int(o_tstart[i])
+        t_end = int(s_tend[i])
+        t_len = int(t_lens[s_t[i]])
+        btlen = int(o_btlen[i])
+        bt = bytes(bt_buf[bt_off[i]:bt_off[i] + btlen]).decode("ascii")
+        seq_id = o_aaids[i] / btlen if btlen else 0.0
+        results[qi].append(AlnResult(
+            target=int(s_t[i]), raw_score=sc,
+            bit_score=int(bits[i] + 0.5),
+            seq_id=float(np.float32(seq_id)),
+            evalue=float(surv_eval[i]),
+            q_start=q_start, q_end=q_end, q_len=lq,
+            t_start=t_start, t_end=t_end, t_len=t_len,
+            backtrace=bt,
+            q_cov=(q_end + 1 - q_start) / lq,
+            t_cov=(t_end + 1 - t_start) / t_len))
+    for rows in results:
+        rows.sort(key=lambda r: (r.evalue, -r.raw_score, r.t_len, r.target))
+    return results
+
+
 def align_query(q_num: np.ndarray, pref_targets: list, target_seqs: list,
                 matrix: ScoringMatrix, params: AlnParams,
                 evaluer: EvalueComputer, bias=None) -> list:

@@ -11,6 +11,24 @@ import numpy as np
 
 from .matrices import ScoringMatrix
 
+_EXPECTED_TAB = {}
+
+
+def expected_score_tab(matrix: ScoringMatrix) -> np.ndarray:
+    """Per-letter expected score sum_a pBack[a] * S[x][a], float64 [A].
+
+    Canonical table for the bias correction: the dgemv result of
+    ``rows @ p_back`` varies in the last ulp with the row count (BLAS
+    kernel selection), so every engine (per-seq, batch, native C)
+    gathers from this one fixed table instead — bit-identical bias
+    across engines by construction."""
+    key = id(matrix.scores)
+    tab = _EXPECTED_TAB.get(key)
+    if tab is None:
+        tab = matrix.scores.astype(np.float64) @ matrix.p_back
+        _EXPECTED_TAB[key] = tab
+    return tab
+
 
 def local_aa_bias(seq_num: np.ndarray, matrix: ScoringMatrix) -> np.ndarray:
     """float64 bias per position. The reference accumulates int scores and
@@ -30,7 +48,7 @@ def local_aa_bias(seq_num: np.ndarray, matrix: ScoringMatrix) -> np.ndarray:
         win_sum[ok] += rows[i[ok], seq_num[j[ok]]]
     win_len = (np.minimum(n, i + 20) - np.maximum(0, i - 20)).astype(np.float64)
     win_sum -= rows[i, seq_num]             # remove own amino acid
-    expected = rows @ matrix.p_back
+    expected = expected_score_tab(matrix)[seq_num]
     return -win_sum / win_len + expected
 
 
@@ -68,9 +86,7 @@ def local_aa_bias_batch(seqs: list, matrix: ScoringMatrix) -> list:
                - np.maximum(0, i[None, :] - 20)).astype(np.float64)
     diag = np.take_along_axis(rows, mat[:, :, None], axis=2)[:, :, 0]
     win_sum -= diag
-    # same matvec kernel as the per-sequence path (bit-stable)
-    A = rows.shape[2]
-    expected = (rows.reshape(-1, A) @ matrix.p_back).reshape(B, L)
+    expected = expected_score_tab(matrix)[mat]
     with np.errstate(divide="ignore", invalid="ignore"):
         bias = -win_sum / win_len + expected
     return [bias[b, :lens[b]] for b in range(B)]

@@ -739,6 +739,94 @@ def prefilter_query(q_num: np.ndarray, index: TargetIndex,
     return _finalize_py(m_t, m_d, index, profile, cap, params)
 
 
+def prefilter_query_batch(q_list: list, index: TargetIndex,
+                          params: PrefilterParams,
+                          seed_m: Optional[ScoringMatrix] = None,
+                          ungapped_m: Optional[ScoringMatrix] = None,
+                          enumerator=None, bias80_all=None,
+                          collect_all: bool = False) -> list:
+    """Match MANY query ORFs in one native call; returns a list of hit
+    lists parallel to ``q_list``, each bit-identical to
+    ``prefilter_query`` on that query.
+
+    This is the batched analog of the reference's OpenMP query loop
+    (Prefiltering.cpp:776-800 driving QueryMatcher::matchQuery,
+    QueryMatcher.cpp:84-323): the per-query Python overhead (~0.4-2 ms
+    per ORF — the catalog-scale wall, BASELINE.md round-3 analysis)
+    collapses into one C walk over flat-packed queries. Falls back to
+    the per-query driver when no native library is available or the
+    k-mer split is not 3+3."""
+    seed_m = seed_m or load_matrix(params.seed_matrix, 8.0)
+    ungapped_m = ungapped_m or load_matrix(params.ungapped_matrix, 2.0)
+
+    from ..native import get_lib
+    lib = get_lib()
+    if lib is None or params.kmer_size != 6 or len(index.uniq_codes) == 0:
+        if enumerator is None:
+            enumerator = SimilarKmerEnumerator(seed_m.scores)
+        return [prefilter_query(
+                    q, index, params, seed_m=seed_m, ungapped_m=ungapped_m,
+                    enumerator=enumerator,
+                    bias80=None if bias80_all is None else bias80_all[i],
+                    collect_all=collect_all)
+                for i, q in enumerate(q_list)]
+
+    from .bias import expected_score_tab
+    nq = len(q_list)
+    qstarts = np.zeros(nq + 1, dtype=np.int64)
+    np.cumsum([len(q) for q in q_list], out=qstarts[1:])
+    qflat = (np.ascontiguousarray(np.concatenate(q_list), dtype=np.uint8)
+             if nq and qstarts[-1] else np.zeros(1, np.uint8))
+    seed32 = np.ascontiguousarray(seed_m.scores, dtype=np.int32)
+    etab = np.ascontiguousarray(expected_score_tab(seed_m))
+    offs32 = np.ascontiguousarray(params.offsets, dtype=np.int32)
+    uniq_codes = np.ascontiguousarray(index.uniq_codes, dtype=np.int64)
+    uniq_start = np.ascontiguousarray(index.uniq_start, dtype=np.int64)
+    post_seq = np.ascontiguousarray(index.post_seq, dtype=np.int32)
+    post_pos = np.ascontiguousarray(index.post_pos, dtype=np.uint16)
+    flatm, mstarts = index.packed_masked()
+    flatm = np.ascontiguousarray(flatm, dtype=np.uint8)
+    mstarts = np.ascontiguousarray(mstarts, dtype=np.int64)
+    ung32 = np.ascontiguousarray(ungapped_m.scores, dtype=np.int32)
+    max_seqs = (1 << 30) if collect_all else params.max_seqs
+
+    total = lib.prefilter_batch(
+        qflat.ctypes.data, qstarts.ctypes.data, nq,
+        seed32.ctypes.data, seed32.shape[1], etab.ctypes.data,
+        int(params.comp_bias_corr),
+        offs32.ctypes.data, params.kmer_size, params.pattern_span,
+        int(params.kmer_threshold()), X_IDX,
+        uniq_codes.ctypes.data, uniq_start.ctypes.data, len(uniq_codes),
+        post_seq.ctypes.data, post_pos.ctypes.data,
+        flatm.ctypes.data, mstarts.ctypes.data, len(index.seq_lengths),
+        ung32.ctypes.data, abs(int(ung32.min())),
+        params.min_diag_score, max_seqs,
+        _bin_bits(len(index.seq_lengths)))
+    if total < 0:
+        lib.prefilter_batch_free()
+        if enumerator is None:
+            enumerator = SimilarKmerEnumerator(seed_m.scores)
+        return [prefilter_query(
+                    q, index, params, seed_m=seed_m, ungapped_m=ungapped_m,
+                    enumerator=enumerator,
+                    bias80=None if bias80_all is None else bias80_all[i],
+                    collect_all=collect_all)
+                for i, q in enumerate(q_list)]
+    out_t = np.empty(total + 1, dtype=np.int32)
+    out_s = np.empty(total + 1, dtype=np.int32)
+    out_d = np.empty(total + 1, dtype=np.int32)
+    out_off = np.empty(nq + 1, dtype=np.int64)
+    lib.prefilter_batch_fetch(out_t.ctypes.data, out_s.ctypes.data,
+                              out_d.ctypes.data, out_off.ctypes.data)
+    result = []
+    for qi in range(nq):
+        lo, hi = int(out_off[qi]), int(out_off[qi + 1])
+        result.append([PrefilterHit(int(out_t[i]), int(out_s[i]),
+                                    int(out_d[i]))
+                       for i in range(lo, hi)])
+    return result
+
+
 def merge_split_hits(hits: list, cap: int,
                      params: PrefilterParams) -> list:
     """Merge per-split collect_all hit lists into the global hit list.

@@ -12,7 +12,7 @@ from typing import Optional
 import numpy as np
 
 from ..io.setdb import SetDB
-from ..ops.align import AlnParams, align_query
+from ..ops.align import INT_MAX, AlnParams, align_query
 from ..ops.evalue import EvalueComputer, gumbel_params
 from ..ops.matrices import load_matrix
 from ..ops.prefilter import PrefilterParams, build_target_index, prefilter_query
@@ -104,6 +104,7 @@ def search_setdbs(query_db: SetDB, target_db: SetDB,
 
     m40 = load_matrix(params.align.matrix, 2.0)
     seed_m = load_matrix(params.prefilter.seed_matrix, 8.0)
+    ungapped_m = load_matrix(params.prefilter.ungapped_matrix, 2.0)
     enumerator = SimilarKmerEnumerator(seed_m.scores)
     evaluer = EvalueComputer(
         gumbel_params(params.align.matrix, params.align.gap_open,
@@ -114,12 +115,27 @@ def search_setdbs(query_db: SetDB, target_db: SetDB,
 
     q_flat, q_off = query_db.orf_aa_encoded()
     q_all = [q_flat[q_off[k]:q_off[k + 1]] for k in range(query_db.n_orfs)]
-    if params.prefilter.comp_bias_corr:
-        bias80_all = local_aa_bias_batch(q_all, seed_m)
-    else:
-        bias80_all = [np.zeros(len(q)) for q in q_all]
+
+    # Query bias is only materialized in Python for the engines that
+    # need it host-side (dense device prefilter, per-query fallbacks);
+    # the native batch drivers recompute it bit-identically in C from
+    # the shared expected-score table (ops/bias.py).
+    _bias_cache = []
+
+    def _get_bias80():
+        if not _bias_cache:
+            if params.prefilter.comp_bias_corr:
+                _bias_cache.append(local_aa_bias_batch(q_all, seed_m))
+            else:
+                _bias_cache.append([np.zeros(len(q)) for q in q_all])
+        return _bias_cache[0]
+
     if keys is None:
         keys = list(range(query_db.n_orfs))
+
+    from ..native import get_lib as _get_lib
+    use_batch = (_get_lib() is not None
+                 and params.prefilter.kmer_size == 6)
 
     # prefilter engine choice (SURVEY 7.2 step 3). The dense device
     # engine (ops/prefilter_dense.py) needs no postings index — only the
@@ -217,7 +233,7 @@ def search_setdbs(query_db: SetDB, target_db: SetDB,
         q = q_all[qkey]
         hits = prefilter_query(q, index, params.prefilter,
                                enumerator=enumerator,
-                               bias80=bias80_all[qkey])
+                               bias80=_get_bias80()[qkey])
         results = align_query(q, [h.target for h in hits], t_aa, m40,
                               params.align, evaluer)
         return [r.row_fields() for r in results]
@@ -225,8 +241,42 @@ def search_setdbs(query_db: SetDB, target_db: SetDB,
     def _prefilter_one(qkey):
         hits = prefilter_query(q_all[qkey], index, params.prefilter,
                                enumerator=enumerator,
-                               bias80=bias80_all[qkey])
+                               bias80=_get_bias80()[qkey])
         return [h.target for h in hits]
+
+    def _prefilter_batch_keys():
+        """Native batch prefilter over all keys (chunked for progress
+        feedback); candidate dict like the per-query path."""
+        from ..ops.prefilter import prefilter_query_batch
+        from ..logging import Progress
+        prog = Progress(total=len(keys), label="prefilter ")
+        out = {}
+        for lo in range(0, len(keys), _BATCH_CHUNK):
+            chunk = keys[lo:lo + _BATCH_CHUNK]
+            hls = prefilter_query_batch(
+                [q_all[k] for k in chunk], index, params.prefilter,
+                seed_m, ungapped_m)
+            for k, hl in zip(chunk, hls):
+                out[k] = [h.target for h in hl]
+            prog.update(len(chunk))
+        prog.done()
+        return out
+
+    def _align_batch_keys(cand):
+        from ..ops.align import align_query_batch
+        from ..logging import Progress
+        prog = Progress(total=len(keys), label="align ")
+        prot = {}
+        for lo in range(0, len(keys), _BATCH_CHUNK):
+            chunk = keys[lo:lo + _BATCH_CHUNK]
+            res = align_query_batch(
+                [q_all[k] for k in chunk], [cand[k] for k in chunk],
+                t_flat, t_off, m40, params.align, evaluer)
+            for k, rows in zip(chunk, res):
+                prot[k] = [r.row_fields() for r in rows]
+            prog.update(len(chunk))
+        prog.done()
+        return prot
 
     n_threads = params.threads if params.threads > 0 else (os.cpu_count() or 1)
     prot = {}
@@ -234,7 +284,7 @@ def search_setdbs(query_db: SetDB, target_db: SetDB,
         log(2, "RAM-bounded target splits "
                f"(limit {params.prefilter.split_memory_limit} MB)")
         prot = _search_split(t_aa, (t_flat, t_off), params, m40,
-                             enumerator, evaluer, bias80_all, q_all, keys)
+                             enumerator, evaluer, _get_bias80(), q_all, keys)
         return _nucl_merge(prot, query_db, target_db, params)
 
     # Scoring engine choice. The accelerator pays a fixed in-process
@@ -261,18 +311,24 @@ def search_setdbs(query_db: SetDB, target_db: SetDB,
         use_tpu or params.mesh is not None
         or cells_ceiling > _DEVICE_CELLS_THRESHOLD))
 
-    if two_phase:
+    batched_aln_ok = (params.align.max_accept == INT_MAX
+                      and params.align.max_rejected == INT_MAX
+                      and params.align.cov_thr == 0
+                      and params.align.seq_id_thr == 0
+                      and params.align.aln_len_thr == 0)
+    if two_phase or use_batch:
         if use_dev_pf:
             from ..ops.prefilter_dense import device_prefilter
             backend = "pallas" if _accelerator_present() else "xla"
             log(2, f"dense device prefilter ({backend}): "
                    f"{nk_total} k-mers x {t_res} target residues")
-            ungapped_m = load_matrix(params.prefilter.ungapped_matrix, 2.0)
             hits_all = device_prefilter(
-                q_all, keys, bias80_all, masked[0], masked[1],
+                q_all, keys, _get_bias80(), masked[0], masked[1],
                 params.prefilter, enumerator, seed_m, ungapped_m,
                 backend=backend)
             cand = {k: [h.target for h in hits_all[k]] for k in keys}
+        elif use_batch:
+            cand = _prefilter_batch_keys()
         else:
             cand = _run_keyed(_prefilter_one, keys, n_threads,
                               len(keys) * t_res > 2e10,
@@ -287,6 +343,8 @@ def search_setdbs(query_db: SetDB, target_db: SetDB,
         if engage:
             prot = _search_tpu(keys, t_aa, cand, q_all, m40,
                                evaluer, params)
+        elif use_batch and batched_aln_ok:
+            prot = _align_batch_keys(cand)
         else:
             def _align_one(qkey):
                 results = align_query(q_all[qkey], cand[qkey], t_aa, m40,
@@ -308,6 +366,10 @@ def search_setdbs(query_db: SetDB, target_db: SetDB,
 # vs device ~6e10 sustained + seconds of overhead; measured on the
 # scale corpora, see BASELINE.md).
 _DEVICE_CELLS_THRESHOLD = 3e10
+
+# Queries per native batch-driver dispatch: bounds the transient hit
+# lists and gives the Progress bar tick granularity.
+_BATCH_CHUNK = 16384
 
 # Cell budget of one [key-block, union] candidate score matrix in
 # _search_tpu (~200 MB of int32 at the default). Catalog-scale searches
@@ -383,6 +445,7 @@ def _search_split(t_aa, packed, params, m40, enumerator, evaluer,
     setupSplit / mergeTargetSplits analog (Prefiltering.cpp:258,
     Prefiltering.h:49)."""
     from ..ops.prefilter import (PrefilterHit, merge_split_hits,
+                                 prefilter_query_batch,
                                  ungapped_profile_cap)
 
     t_flat, t_off = packed
@@ -399,6 +462,8 @@ def _search_split(t_aa, packed, params, m40, enumerator, evaluer,
         bounds.append(len(t_aa))
     log(2, f"target split mode: {len(bounds) - 1} shards")
 
+    seed_m = load_matrix(params.prefilter.seed_matrix, 8.0)
+    ungapped_m = load_matrix(params.prefilter.ungapped_matrix, 2.0)
     all_hits = {k: [] for k in keys}
     for ci in range(len(bounds) - 1):
         lo, hi = bounds[ci], bounds[ci + 1]
@@ -407,25 +472,35 @@ def _search_split(t_aa, packed, params, m40, enumerator, evaluer,
         sub_flat = t_flat[t_off[lo]:t_off[hi]]
         index = build_target_index(t_aa[lo:hi], params.prefilter,
                                    packed=(sub_flat, sub_starts))
-        for k in keys:
-            hits = prefilter_query(q_all[k], index, params.prefilter,
-                                   enumerator=enumerator,
-                                   bias80=bias80_all[k], collect_all=True)
-            all_hits[k].extend(
-                PrefilterHit(h.target + lo, h.score, h.diagonal)
-                for h in hits)
+        for blo in range(0, len(keys), _BATCH_CHUNK):
+            chunk = keys[blo:blo + _BATCH_CHUNK]
+            hls = prefilter_query_batch(
+                [q_all[k] for k in chunk], index, params.prefilter,
+                seed_m, ungapped_m, enumerator=enumerator,
+                bias80_all=[bias80_all[k] for k in chunk],
+                collect_all=True)
+            for k, hl in zip(chunk, hls):
+                all_hits[k].extend(
+                    PrefilterHit(h.target + lo, h.score, h.diagonal)
+                    for h in hl)
         del index
     from ..ops.prefilter import release_postings_scratch
     release_postings_scratch()  # per-shard indexes are done; RAM back
 
-    ungapped_m = load_matrix(params.prefilter.ungapped_matrix, 2.0)
-    prot = {}
+    merged_cand = {}
     for k in keys:
         _, cap = ungapped_profile_cap(q_all[k], bias80_all[k], ungapped_m)
         merged = merge_split_hits(all_hits[k], cap, params.prefilter)
-        results = align_query(q_all[k], [h.target for h in merged], t_aa,
-                              m40, params.align, evaluer)
-        prot[k] = [r.row_fields() for r in results]
+        merged_cand[k] = [h.target for h in merged]
+    from ..ops.align import align_query_batch
+    prot = {}
+    for blo in range(0, len(keys), _BATCH_CHUNK):
+        chunk = keys[blo:blo + _BATCH_CHUNK]
+        res = align_query_batch(
+            [q_all[k] for k in chunk], [merged_cand[k] for k in chunk],
+            t_flat, t_off, m40, params.align, evaluer)
+        for k, rows in zip(chunk, res):
+            prot[k] = [r.row_fields() for r in rows]
     return prot
 
 
