@@ -115,7 +115,14 @@ class SetDB:
 
     @property
     def orf_to_set(self) -> np.ndarray:
-        return self.contig_to_set[self.orf_contig]
+        # materialized once: the gather is hot in per-orf loops and the
+        # source arrays may be mmapped
+        cached = getattr(self, "_orf_to_set", None)
+        if cached is None:
+            cached = np.asarray(self.contig_to_set)[
+                np.asarray(self.orf_contig)]
+            object.__setattr__(self, "_orf_to_set", cached)
+        return cached
 
     @property
     def orf_aa_lengths(self) -> np.ndarray:

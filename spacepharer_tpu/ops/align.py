@@ -424,7 +424,8 @@ X_COL = 20  # X column index used for target padding (masked by t_len)
 
 def align_query_batch(q_list: list, cand_lists: list, t_flat: np.ndarray,
                       t_starts: np.ndarray, matrix: ScoringMatrix,
-                      params: AlnParams, evaluer: EvalueComputer) -> list:
+                      params: AlnParams, evaluer: EvalueComputer,
+                      packed=None) -> list:
     """Align MANY queries against their candidate lists in two native
     calls; returns a list of accepted-``AlnResult`` lists parallel to
     ``q_list``, each bit-identical to ``align_query``.
@@ -451,10 +452,18 @@ def align_query_batch(q_list: list, cand_lists: list, t_flat: np.ndarray,
 
     from .bias import expected_score_tab
     nq = len(q_list)
-    qstarts = np.zeros(nq + 1, dtype=np.int64)
-    np.cumsum([len(q) for q in q_list], out=qstarts[1:])
-    qflat = (np.ascontiguousarray(np.concatenate(q_list), dtype=np.uint8)
-             if nq and qstarts[-1] else np.zeros(1, np.uint8))
+    if packed is not None:
+        qflat0, qoff0 = packed
+        base = int(qoff0[0])
+        qflat = qflat0[base:int(qoff0[-1])]
+        qstarts = np.ascontiguousarray(
+            np.asarray(qoff0, dtype=np.int64) - base)
+    else:
+        qstarts = np.zeros(nq + 1, dtype=np.int64)
+        np.cumsum([len(q) for q in q_list], out=qstarts[1:])
+        qflat = (np.ascontiguousarray(np.concatenate(q_list),
+                                      dtype=np.uint8)
+                 if nq and qstarts[-1] else np.zeros(1, np.uint8))
     sub32 = np.ascontiguousarray(matrix.scores, dtype=np.int32)
     etab = np.ascontiguousarray(expected_score_tab(matrix))
     t_flat = np.ascontiguousarray(t_flat, dtype=np.uint8)

@@ -744,7 +744,7 @@ def prefilter_query_batch(q_list: list, index: TargetIndex,
                           seed_m: Optional[ScoringMatrix] = None,
                           ungapped_m: Optional[ScoringMatrix] = None,
                           enumerator=None, bias80_all=None,
-                          collect_all: bool = False) -> list:
+                          collect_all: bool = False, packed=None) -> list:
     """Match MANY query ORFs in one native call; returns a list of hit
     lists parallel to ``q_list``, each bit-identical to
     ``prefilter_query`` on that query.
@@ -773,10 +773,19 @@ def prefilter_query_batch(q_list: list, index: TargetIndex,
 
     from .bias import expected_score_tab
     nq = len(q_list)
-    qstarts = np.zeros(nq + 1, dtype=np.int64)
-    np.cumsum([len(q) for q in q_list], out=qstarts[1:])
-    qflat = (np.ascontiguousarray(np.concatenate(q_list), dtype=np.uint8)
-             if nq and qstarts[-1] else np.zeros(1, np.uint8))
+    if packed is not None:
+        # zero-copy: queries are a contiguous slice of a flat array
+        qflat0, qoff0 = packed
+        base = int(qoff0[0])
+        qflat = qflat0[base:int(qoff0[-1])]
+        qstarts = np.ascontiguousarray(
+            np.asarray(qoff0, dtype=np.int64) - base)
+    else:
+        qstarts = np.zeros(nq + 1, dtype=np.int64)
+        np.cumsum([len(q) for q in q_list], out=qstarts[1:])
+        qflat = (np.ascontiguousarray(np.concatenate(q_list),
+                                      dtype=np.uint8)
+                 if nq and qstarts[-1] else np.zeros(1, np.uint8))
     seed32 = np.ascontiguousarray(seed_m.scores, dtype=np.int32)
     etab = np.ascontiguousarray(expected_score_tab(seed_m))
     offs32 = np.ascontiguousarray(params.offsets, dtype=np.int32)
@@ -818,12 +827,12 @@ def prefilter_query_batch(q_list: list, index: TargetIndex,
     out_off = np.empty(nq + 1, dtype=np.int64)
     lib.prefilter_batch_fetch(out_t.ctypes.data, out_s.ctypes.data,
                               out_d.ctypes.data, out_off.ctypes.data)
-    result = []
-    for qi in range(nq):
+    result = [[] for _ in range(nq)]
+    for qi in np.flatnonzero(np.diff(out_off)):
         lo, hi = int(out_off[qi]), int(out_off[qi + 1])
-        result.append([PrefilterHit(int(out_t[i]), int(out_s[i]),
-                                    int(out_d[i]))
-                       for i in range(lo, hi)])
+        result[qi] = [PrefilterHit(int(out_t[i]), int(out_s[i]),
+                                   int(out_d[i]))
+                      for i in range(lo, hi)]
     return result
 
 

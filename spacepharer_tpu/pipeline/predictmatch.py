@@ -244,6 +244,16 @@ def search_setdbs(query_db: SetDB, target_db: SetDB,
                                bias80=_get_bias80()[qkey])
         return [h.target for h in hits]
 
+    def _chunk_packed(chunk):
+        """(flat, offsets) view when the chunk is a contiguous key
+        range (the common case: keys = range(n_orfs)) — skips the
+        per-chunk concatenation in the batch wrappers."""
+        k0, k1 = chunk[0], chunk[-1]
+        if k1 - k0 + 1 != len(chunk) or list(chunk) != list(
+                range(k0, k1 + 1)):
+            return None
+        return (q_flat, q_off[k0:k1 + 2])
+
     def _prefilter_batch_keys():
         """Native batch prefilter over all keys (chunked for progress
         feedback); candidate dict like the per-query path."""
@@ -255,7 +265,7 @@ def search_setdbs(query_db: SetDB, target_db: SetDB,
             chunk = keys[lo:lo + _BATCH_CHUNK]
             hls = prefilter_query_batch(
                 [q_all[k] for k in chunk], index, params.prefilter,
-                seed_m, ungapped_m)
+                seed_m, ungapped_m, packed=_chunk_packed(chunk))
             for k, hl in zip(chunk, hls):
                 out[k] = [h.target for h in hl]
             prog.update(len(chunk))
@@ -271,7 +281,8 @@ def search_setdbs(query_db: SetDB, target_db: SetDB,
             chunk = keys[lo:lo + _BATCH_CHUNK]
             res = align_query_batch(
                 [q_all[k] for k in chunk], [cand[k] for k in chunk],
-                t_flat, t_off, m40, params.align, evaluer)
+                t_flat, t_off, m40, params.align, evaluer,
+                packed=_chunk_packed(chunk))
             for k, rows in zip(chunk, res):
                 prot[k] = [r.row_fields() for r in rows]
             prog.update(len(chunk))
@@ -688,9 +699,9 @@ def predict_match(query_db: SetDB, target_db: SetDB, control_db: SetDB,
                                              params.report_fdr))
 
     def _aln_stage():
-        q_set_size_of = {
-            okey: int(query_db.set_size[query_db.orf_to_set[okey]])
-            for okey in range(query_db.n_orfs)}
+        q_sizes = np.asarray(query_db.set_size)[query_db.orf_to_set]
+        q_set_size_of = {okey: int(q_sizes[okey])
+                         for okey in range(query_db.n_orfs)}
         truncated = truncate_best_hits(aggregate, q_set_size_of)
         offset = offset_alignments(truncated, query_db, target_db)
         with_tax = target_db.contig_taxid is not None

@@ -14,7 +14,7 @@ import math
 import numpy as np
 
 from ..alphabet import encode_nucl
-from ..ops.align import decompress_backtrace, format_seq_id
+from ..ops.align import format_seq_id
 from ..ops.evalue import EvalueComputer
 from ..ops.matrices import load_nucleotide_matrix
 from ..stats.aggregation import fmt_e3
@@ -29,23 +29,31 @@ def protein_aln_to_nucl(entries: dict, q_nucl_seqs, t_nucl_seqs,
     nucleotide sequences (uint8 ASCII) by key.
     """
     nucl_m = load_nucleotide_matrix()
-    out = {}
+    t_cache = {}
+
+    def _t(tkey):
+        hit = t_cache.get(tkey)
+        if hit is None:
+            t_nucl = np.asarray(t_nucl_seqs[tkey])
+            hit = (t_nucl, encode_nucl(t_nucl))
+            t_cache[tkey] = hit
+        return hit
+
+    # pass 1: score every row (integer arithmetic, M runs vectorized
+    # over slices), collecting scores for one vectorized E-value call
+    staged = []            # (qkey, row, q_start.., score, id_cnt, aln_len)
+    scores = []
+    qlens = []
     for qkey, rows in entries.items():
         if not rows:
-            out[qkey] = []
             continue
         q_nucl = np.asarray(q_nucl_seqs[qkey])
         q_num = encode_nucl(q_nucl)
-        new_rows = []
         for row in rows:
             tkey = int(row[0])
-            t_nucl = np.asarray(t_nucl_seqs[tkey])
-            t_num = encode_nucl(t_nucl)
+            t_nucl, t_num = _t(tkey)
             q_start = int(row[4]) * 3
-            q_end = int(row[5]) * 3 + 2
             t_start = int(row[7]) * 3
-            t_end = int(row[8]) * 3 + 2
-            bt = decompress_backtrace(row[10]) if len(row) > 10 else ""
 
             score = 0
             id_cnt = 0
@@ -60,11 +68,13 @@ def protein_aln_to_nucl(entries: dict, q_nucl_seqs, t_nucl_seqs,
                     continue
                 n = cnt if cnt else 1
                 if c == "M":
-                    for _ in range(n * 3):
-                        id_cnt += int(q_nucl[qp] == t_nucl[tp])
-                        score += int(nucl_m.scores[q_num[qp], t_num[tp]])
-                        qp += 1
-                        tp += 1
+                    n3 = n * 3
+                    id_cnt += int(np.count_nonzero(
+                        q_nucl[qp:qp + n3] == t_nucl[tp:tp + n3]))
+                    score += int(nucl_m.scores[q_num[qp:qp + n3],
+                                               t_num[tp:tp + n3]].sum())
+                    qp += n3
+                    tp += n3
                 elif c == "D":
                     tp += n * 3
                     score -= gap_open + ((n - 1) * 3) * gap_extend
@@ -74,16 +84,28 @@ def protein_aln_to_nucl(entries: dict, q_nucl_seqs, t_nucl_seqs,
                 aln_len += n * 3
                 new_bt_parts.append(f"{n * 3}{c}")
                 cnt = 0
+            staged.append((qkey, row, q_start, t_start, len(q_nucl),
+                           len(t_nucl), id_cnt, aln_len,
+                           "".join(new_bt_parts)))
+            scores.append(score)
+            qlens.append(len(q_nucl))
 
-            bit_score = int(evaluer.bit_score(score))  # C truncation
-            evalue = float(evaluer.evalue(score, len(q_nucl)))
-            seq_id = np.float32(id_cnt / aln_len) if aln_len else np.float32(0)
-            new_rows.append([
+    out = {qkey: [] for qkey in entries}
+    if staged:
+        sc = np.asarray(scores, dtype=np.int64)
+        bit_scores = evaluer.bit_score(sc)
+        evalues = evaluer.evalue(sc, np.asarray(qlens, dtype=np.int64))
+        for i, (qkey, row, q_start, t_start, lq, lt, id_cnt, aln_len,
+                new_bt) in enumerate(staged):
+            bit_score = int(bit_scores[i])  # C truncation
+            evalue = float(evalues[i])
+            seq_id = (np.float32(id_cnt / aln_len) if aln_len
+                      else np.float32(0))
+            out[qkey].append([
                 row[0], str(bit_score), format_seq_id(float(seq_id)),
-                f"{evalue:.3E}", str(q_start), str(q_end), str(len(q_nucl)),
-                str(t_start), str(t_end), str(len(t_nucl)),
-                "".join(new_bt_parts)])
-        out[qkey] = new_rows
+                f"{evalue:.3E}", str(q_start), str(int(row[5]) * 3 + 2),
+                str(lq), str(t_start), str(int(row[8]) * 3 + 2), str(lt),
+                new_bt])
     return out
 
 
@@ -95,15 +117,16 @@ def combine_prot_nucl(prot_entries: dict, nucl_entries: dict) -> dict:
         nucl_rows = nucl_entries.get(qkey)
         if nucl_rows is None:
             continue
+        # last nucl row per target wins, like the reference's full scan
+        nucl_by_t = {nrow[0]: nrow for nrow in nucl_rows}
         merged = []
         for prow in prot_rows:
             tkey = prow[0]
             prot_eval = float(prow[3])
             updated_eval = FLT_MAX
             nucl_seq_id = 0.0
-            for nrow in nucl_rows:
-                if nrow[0] != tkey:
-                    continue
+            nrow = nucl_by_t.get(tkey)
+            if nrow is not None:
                 nucl_seq_id = float(nrow[2])
                 nucl_eval = float(nrow[3])
                 log_p = math.log(prot_eval) if prot_eval > 0 else -math.inf
