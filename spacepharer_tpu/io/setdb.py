@@ -241,6 +241,40 @@ def build_setdb_from_fasta(files: list, spacer_mode: bool = False,
                            taxdump_dir: Optional[str] = None) -> SetDB:
     """FASTA files -> SetDB. One set per input file."""
     contigs, accs, headers, c2s, set_names = [], [], [], [], []
+
+    from ..native import get_lib
+    if spacer_mode and get_lib() is not None:
+        # spacer catalogs are many tiny files: read them (threaded),
+        # then hand ALL contigs to the one-call native batch scanner in
+        # _assemble (the fused per-entry scan pays ~6 Python/ctypes
+        # calls per spacer — the wall at 10^4+ sets)
+        from ..logging import Progress
+        prog = Progress(total=len(files))
+
+        def _read(path):
+            out = list(iter_fasta(path))
+            prog.update()
+            return out
+        if len(files) > 1 and (os.cpu_count() or 1) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(max_workers=min(4, os.cpu_count())) as ex:
+                per_file = list(ex.map(_read, files, chunksize=64))
+        else:
+            per_file = [_read(p) for p in files]
+        prog.done()
+        for fi, path in enumerate(files):
+            set_names.append(os.path.basename(path))
+            for e in per_file[fi]:
+                contigs.append(e.seq)
+                accs.append(parse_fasta_header_accession(e.header))
+                headers.append(e.header)
+                c2s.append(fi)
+        db = _assemble(contigs, accs, headers, c2s, set_names, spacer_mode,
+                       reverse_fragments, orf_min_length, orf_max_length,
+                       translation_table)
+        _attach_taxonomy(db, tax_mapping_file, taxdump_dir)
+        return db
+
     scan = _contig_scanner(spacer_mode, orf_min_length, orf_max_length,
                            translation_table)
 
@@ -363,6 +397,30 @@ def _assemble(contigs, accs, headers, c2s, set_names, spacer_mode,
               reverse_fragments, orf_min_length, orf_max_length, table_id,
               scanned=None):
     if scanned is None:
+        # batched native scan: one C call over all contigs (the
+        # per-contig path costs ~6 Python/ctypes calls per contig — the
+        # wall for spacer catalogs of 10^4+ tiny records)
+        from ..ops.orf import find_orfs_batch
+        if spacer_mode:
+            b_min = 9 if orf_min_length is None else orf_min_length
+            b_mode = ANY_TO_STOP
+        else:
+            b_min = 30 if orf_min_length is None else orf_min_length
+            b_mode = START_TO_STOP
+        contig_data, contig_offsets = _flat(contigs)
+        batch = find_orfs_batch(contig_data, contig_offsets,
+                                min_length=b_min,
+                                max_length=orf_max_length,
+                                start_mode=b_mode, table_id=table_id)
+        if batch is not None:
+            orf_contig, orf_from, orf_to, orf_complete, \
+                nucl_offsets, nucl_data = batch
+            return _finish_setdb(
+                contig_data, contig_offsets, accs, headers, c2s,
+                set_names, spacer_mode, reverse_fragments, table_id,
+                orf_contig, orf_from, orf_to, orf_complete,
+                np.ascontiguousarray(nucl_data),
+                np.ascontiguousarray(nucl_offsets))
         _scan_contig = _contig_scanner(spacer_mode, orf_min_length,
                                        orf_max_length, table_id)
         # the per-contig scan is dominated by the C ORF kernel (GIL
@@ -394,15 +452,12 @@ def _assemble(contigs, accs, headers, c2s, set_names, spacer_mode,
         orf_to.append(c_to)
         orf_complete.append(complete)
 
-    n_sets = len(set_names)
     orf_contig = np.concatenate(orf_contig).astype(np.int32) \
         if orf_contig else np.zeros(0, dtype=np.int32)
     orf_from = np.concatenate(orf_from) if orf_from else np.zeros(0, np.int64)
     orf_to = np.concatenate(orf_to) if orf_to else np.zeros(0, np.int64)
     orf_complete = np.concatenate(orf_complete) \
         if orf_complete else np.zeros(0, np.uint8)
-    c2s = np.asarray(c2s, dtype=np.int32)
-    set_size = np.bincount(c2s[orf_contig], minlength=n_sets).astype(np.int32)
 
     contig_data, contig_offsets = _flat(contigs)
     if gstart_parts:
@@ -427,6 +482,22 @@ def _assemble(contigs, accs, headers, c2s, set_names, spacer_mode,
     else:
         nucl_data = np.zeros(0, dtype=np.uint8)
         nucl_offsets = np.zeros(1, dtype=np.int64)
+    return _finish_setdb(contig_data, contig_offsets, accs, headers, c2s,
+                         set_names, spacer_mode, reverse_fragments,
+                         table_id, orf_contig,
+                         np.asarray(orf_from, dtype=np.int64),
+                         np.asarray(orf_to, dtype=np.int64),
+                         np.asarray(orf_complete, dtype=np.uint8),
+                         nucl_data, nucl_offsets)
+
+
+def _finish_setdb(contig_data, contig_offsets, accs, headers, c2s,
+                  set_names, spacer_mode, reverse_fragments, table_id,
+                  orf_contig, orf_from, orf_to, orf_complete,
+                  nucl_data, nucl_offsets):
+    c2s = np.asarray(c2s, dtype=np.int32)
+    set_size = np.bincount(c2s[orf_contig],
+                           minlength=len(set_names)).astype(np.int32)
     if reverse_fragments:
         nucl_data = reverse_by_codon_flat(nucl_data, nucl_offsets)
     # ORF lengths are whole codons, so the batch translation covers
@@ -437,9 +508,9 @@ def _assemble(contigs, accs, headers, c2s, set_names, spacer_mode,
         contig_accession=accs, contig_header=headers,
         contig_to_set=c2s, set_names=list(set_names),
         orf_contig=orf_contig,
-        orf_from=np.asarray(orf_from, dtype=np.int64),
-        orf_to=np.asarray(orf_to, dtype=np.int64),
-        orf_complete=np.asarray(orf_complete, dtype=np.uint8),
+        orf_from=orf_from,
+        orf_to=orf_to,
+        orf_complete=orf_complete,
         orf_aa_data=aa_data, orf_aa_offsets=aa_offsets,
         orf_nucl_data=nucl_data, orf_nucl_offsets=nucl_offsets,
         set_size=set_size,

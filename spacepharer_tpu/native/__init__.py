@@ -128,6 +128,19 @@ def get_lib():
     ]
     lib.prefilter_batch_free.restype = None
     lib.prefilter_batch_free.argtypes = []
+    lib.scan_contigs_batch.restype = ctypes.c_int64
+    lib.scan_contigs_batch.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,          # contigs
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,         # luts
+        ctypes.c_void_p, ctypes.c_void_p,                          # luts
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,            # limits
+        ctypes.c_int32,                                            # mode
+        ctypes.c_void_p,                                           # out
+    ]
+    lib.scan_contigs_fetch.restype = ctypes.c_int64
+    lib.scan_contigs_fetch.argtypes = [ctypes.c_void_p] * 6
+    lib.scan_contigs_free.restype = None
+    lib.scan_contigs_free.argtypes = []
     lib.align_forward_batch.restype = None
     lib.align_forward_batch.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,          # queries

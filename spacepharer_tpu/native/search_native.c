@@ -515,6 +515,262 @@ int64_t prefilter_batch_fetch(int32_t *out_t, int32_t *out_score,
     return n;
 }
 
+/* ---- batched contig ORF scan (createsetdb hot path) ----
+ *
+ * One call over ALL contigs: U->T substitution, both-strand six-frame
+ * scan (find_orfs_strand, sw_native.c — the Orf::findForward replica),
+ * and the reading-direction nucleotide gather, under the same pthread
+ * chunk pool. Replaces ~6 Python/ctypes calls per contig (the wall for
+ * spacer catalogs: 30k files x 3 spacers each). Emission order per
+ * contig = forward-strand records then reverse-strand records, each in
+ * emit order — identical to ops.orf.find_orfs. */
+
+extern int64_t find_orfs_strand(const uint8_t *seq, int64_t L,
+                                const uint8_t *cls_tab,
+                                const uint8_t *stop_lut,
+                                const uint8_t *start_lut,
+                                const uint8_t *gappy_tab,
+                                int64_t min_len, int64_t max_len,
+                                int64_t max_gaps, int32_t start_mode,
+                                int64_t *out_emit, int64_t *out_from,
+                                int64_t *out_to, uint8_t *out_incs,
+                                uint8_t *out_ince, int64_t *out_len);
+
+typedef struct {
+    const uint8_t *cflat;
+    const int64_t *coff;
+    int64_t nc;
+    const uint8_t *cls_tab, *stop_lut, *start_lut, *gappy_tab, *rc_lut;
+    int64_t min_len, max_len, max_gaps;
+    int32_t start_mode;
+    /* per-contig bookkeeping */
+    int32_t *c_cnt;
+    int64_t *c_woff, *c_nucloff;
+    int8_t *c_wid;
+    volatile int64_t *next_c;
+} sc_shared_t;
+
+typedef struct {
+    sc_shared_t *sh;
+    int wid;
+    buf_t seq, rc, scratch;           /* per-contig scratch */
+    buf_t o_from, o_to, o_comp;       /* growable per-orf outputs */
+    buf_t nucl;
+    int64_t n_orfs, n_nucl;
+} sc_worker_t;
+
+#define SC_CHUNK 64
+
+static void sc_one_contig(sc_worker_t *w, int64_t ci) {
+    sc_shared_t *sh = w->sh;
+    int64_t L = sh->coff[ci + 1] - sh->coff[ci];
+    sh->c_wid[ci] = (int8_t)w->wid;
+    sh->c_woff[ci] = w->n_orfs;
+    sh->c_nucloff[ci] = w->n_nucl;
+    sh->c_cnt[ci] = 0;
+    if (L < 3)
+        return;
+    uint8_t *seq = (uint8_t *)buf_ensure(&w->seq, L, 1);
+    const uint8_t *src = sh->cflat + sh->coff[ci];
+    for (int64_t i = 0; i < L; i++) {
+        uint8_t b = src[i];
+        if (b == 'U') b = 'T';
+        else if (b == 'u') b = 't';
+        seq[i] = b;
+    }
+    /* scratch: emit/from/to/len int64 x4 + incs/ince u8 x2, capacity L */
+    int64_t *em = (int64_t *)buf_ensure(&w->scratch, 4 * L + L, 8);
+    int64_t *fr = em + L;
+    int64_t *to = fr + L;
+    int64_t *ln = to + L;
+    uint8_t *incs = (uint8_t *)(ln + L);
+    uint8_t *ince = incs + L;
+
+    for (int strand = 0; strand < 2; strand++) {
+        const uint8_t *s = seq;
+        if (strand) {
+            uint8_t *rc = (uint8_t *)buf_ensure(&w->rc, L, 1);
+            for (int64_t i = 0; i < L; i++)
+                rc[i] = sh->rc_lut[seq[L - 1 - i]];
+            s = rc;
+        }
+        int64_t n = find_orfs_strand(
+            s, L, sh->cls_tab, sh->stop_lut, sh->start_lut, sh->gappy_tab,
+            sh->min_len, sh->max_len, sh->max_gaps, sh->start_mode,
+            em, fr, to, incs, ince, ln);
+        if (!n)
+            continue;
+        int64_t *o_from = (int64_t *)buf_ensure(&w->o_from,
+                                                w->n_orfs + n, 8);
+        int64_t *o_to = (int64_t *)buf_ensure(&w->o_to, w->n_orfs + n, 8);
+        uint8_t *o_comp = (uint8_t *)buf_ensure(&w->o_comp,
+                                                w->n_orfs + n, 1);
+        int64_t need = 0;
+        for (int64_t r = 0; r < n; r++)
+            need += to[r] - fr[r] + 1;
+        uint8_t *nucl = (uint8_t *)buf_ensure(&w->nucl,
+                                              w->n_nucl + need, 1);
+        for (int64_t r = 0; r < n; r++) {
+            int64_t gl = to[r] - fr[r] + 1;
+            memcpy(nucl + w->n_nucl, s + fr[r], (size_t)gl);
+            w->n_nucl += gl;
+            if (strand) {
+                o_from[w->n_orfs] = (L - 1) - fr[r];
+                o_to[w->n_orfs] = (L - 1) - to[r];
+            } else {
+                o_from[w->n_orfs] = fr[r];
+                o_to[w->n_orfs] = to[r];
+            }
+            o_comp[w->n_orfs] = (uint8_t)(incs[r] | (ince[r] << 1));
+            w->n_orfs++;
+            sh->c_cnt[ci]++;
+        }
+    }
+}
+
+static void *sc_worker_main(void *arg) {
+    sc_worker_t *w = (sc_worker_t *)arg;
+    sc_shared_t *sh = w->sh;
+    for (;;) {
+        int64_t c0 = __atomic_fetch_add(sh->next_c, SC_CHUNK,
+                                        __ATOMIC_RELAXED);
+        if (c0 >= sh->nc)
+            break;
+        int64_t c1 = c0 + SC_CHUNK < sh->nc ? c0 + SC_CHUNK : sh->nc;
+        for (int64_t ci = c0; ci < c1; ci++)
+            sc_one_contig(w, ci);
+    }
+    return NULL;
+}
+
+static struct {
+    int32_t *contig;
+    int64_t *c_from, *c_to, *nucl_off;
+    uint8_t *complete, *nucl;
+    int64_t n_orfs, n_nucl, nc;
+} g_sc_res = {0};
+
+void scan_contigs_free(void) {
+    free(g_sc_res.contig); free(g_sc_res.c_from); free(g_sc_res.c_to);
+    free(g_sc_res.nucl_off); free(g_sc_res.complete); free(g_sc_res.nucl);
+    memset(&g_sc_res, 0, sizeof(g_sc_res));
+}
+
+/* Returns the ORF count (>= 0) or -1; *total_nucl_out gets the flat
+ * nucleotide byte count. Results stay staged for scan_contigs_fetch. */
+int64_t scan_contigs_batch(
+    const uint8_t *cflat, const int64_t *coff, int64_t nc,
+    const uint8_t *cls_tab, const uint8_t *stop_lut,
+    const uint8_t *start_lut, const uint8_t *gappy_tab,
+    const uint8_t *rc_lut,
+    int64_t min_len, int64_t max_len, int64_t max_gaps, int32_t start_mode,
+    int64_t *total_nucl_out) {
+    scan_contigs_free();
+    int32_t *c_cnt = (int32_t *)malloc(sizeof(int32_t) * (size_t)(nc + 1));
+    int64_t *c_woff = (int64_t *)malloc(sizeof(int64_t) * (size_t)(nc + 1));
+    int64_t *c_nucloff = (int64_t *)malloc(sizeof(int64_t)
+                                           * (size_t)(nc + 1));
+    int8_t *c_wid = (int8_t *)malloc((size_t)(nc + 1));
+    if (!c_cnt || !c_woff || !c_nucloff || !c_wid) {
+        free(c_cnt); free(c_woff); free(c_nucloff); free(c_wid);
+        return -1;
+    }
+    volatile int64_t next_c = 0;
+    sc_shared_t sh = {
+        cflat, coff, nc, cls_tab, stop_lut, start_lut, gappy_tab, rc_lut,
+        min_len, max_len, max_gaps, start_mode,
+        c_cnt, c_woff, c_nucloff, c_wid, &next_c,
+    };
+    int nw = n_workers(nc);
+    sc_worker_t workers[MAXW];
+    memset(workers, 0, sizeof(workers));
+    pthread_t tids[MAXW];
+    int spawned = 0;
+    for (int w = 0; w < nw; w++) {
+        workers[w].sh = &sh;
+        workers[w].wid = w;
+    }
+    for (int w = 1; w < nw; w++)
+        if (pthread_create(&tids[w - 1], NULL, sc_worker_main,
+                           &workers[w]) == 0)
+            spawned++;
+    sc_worker_main(&workers[0]);
+    for (int t = 0; t < spawned; t++)
+        pthread_join(tids[t], NULL);
+
+    int64_t n_orfs = 0, n_nucl = 0;
+    for (int64_t ci = 0; ci < nc; ci++)
+        n_orfs += c_cnt[ci];
+    for (int w = 0; w < nw; w++)
+        n_nucl += workers[w].n_nucl;
+    g_sc_res.contig = (int32_t *)malloc(sizeof(int32_t)
+                                        * (size_t)(n_orfs + 1));
+    g_sc_res.c_from = (int64_t *)malloc(sizeof(int64_t)
+                                        * (size_t)(n_orfs + 1));
+    g_sc_res.c_to = (int64_t *)malloc(sizeof(int64_t)
+                                      * (size_t)(n_orfs + 1));
+    g_sc_res.complete = (uint8_t *)malloc((size_t)(n_orfs + 1));
+    g_sc_res.nucl_off = (int64_t *)malloc(sizeof(int64_t)
+                                          * (size_t)(n_orfs + 2));
+    g_sc_res.nucl = (uint8_t *)malloc((size_t)(n_nucl + 1));
+    int64_t oi = 0, nuc = 0;
+    for (int64_t ci = 0; ci < nc; ci++) {
+        int32_t n = c_cnt[ci];
+        if (!n) continue;
+        sc_worker_t *w = &workers[c_wid[ci]];
+        int64_t wo = c_woff[ci];
+        const int64_t *wf = (const int64_t *)w->o_from.p;
+        const int64_t *wt = (const int64_t *)w->o_to.p;
+        const uint8_t *wc = (const uint8_t *)w->o_comp.p;
+        /* nucl bytes for this contig's orfs are contiguous in the
+         * worker buffer starting at c_nucloff */
+        int64_t gl_total = 0;
+        for (int32_t r = 0; r < n; r++) {
+            int64_t from = wf[wo + r], to_ = wt[wo + r];
+            int64_t gl = from <= to_ ? to_ - from + 1 : from - to_ + 1;
+            g_sc_res.contig[oi] = (int32_t)ci;
+            g_sc_res.c_from[oi] = from;
+            g_sc_res.c_to[oi] = to_;
+            g_sc_res.complete[oi] = wc[wo + r];
+            g_sc_res.nucl_off[oi] = nuc + gl_total;
+            gl_total += gl;
+            oi++;
+        }
+        memcpy(g_sc_res.nucl + nuc,
+               (const uint8_t *)w->nucl.p + c_nucloff[ci],
+               (size_t)gl_total);
+        nuc += gl_total;
+    }
+    g_sc_res.nucl_off[oi] = nuc;
+    g_sc_res.n_orfs = n_orfs;
+    g_sc_res.n_nucl = nuc;
+    for (int w = 0; w < nw; w++) {
+        free(workers[w].seq.p); free(workers[w].rc.p);
+        free(workers[w].scratch.p);
+        free(workers[w].o_from.p); free(workers[w].o_to.p);
+        free(workers[w].o_comp.p); free(workers[w].nucl.p);
+    }
+    free(c_cnt); free(c_woff); free(c_nucloff); free(c_wid);
+    if (total_nucl_out) *total_nucl_out = n_nucl;
+    return n_orfs;
+}
+
+int64_t scan_contigs_fetch(int32_t *orf_contig, int64_t *c_from,
+                           int64_t *c_to, uint8_t *complete,
+                           int64_t *nucl_off, uint8_t *nucl_data) {
+    if (!g_sc_res.nucl_off)
+        return -1;
+    int64_t n = g_sc_res.n_orfs;
+    memcpy(orf_contig, g_sc_res.contig, sizeof(int32_t) * (size_t)n);
+    memcpy(c_from, g_sc_res.c_from, sizeof(int64_t) * (size_t)n);
+    memcpy(c_to, g_sc_res.c_to, sizeof(int64_t) * (size_t)n);
+    memcpy(complete, g_sc_res.complete, (size_t)n);
+    memcpy(nucl_off, g_sc_res.nucl_off, sizeof(int64_t) * (size_t)(n + 1));
+    memcpy(nucl_data, g_sc_res.nucl, (size_t)g_sc_res.n_nucl);
+    scan_contigs_free();
+    return n;
+}
+
 /* ---- align batch ---- */
 
 /* ssw_init's int8 composition bias + transposed SW profile

@@ -425,7 +425,7 @@ X_COL = 20  # X column index used for target padding (masked by t_len)
 def align_query_batch(q_list: list, cand_lists: list, t_flat: np.ndarray,
                       t_starts: np.ndarray, matrix: ScoringMatrix,
                       params: AlnParams, evaluer: EvalueComputer,
-                      packed=None) -> list:
+                      packed=None, cand_arrays=None) -> list:
     """Align MANY queries against their candidate lists in two native
     calls; returns a list of accepted-``AlnResult`` lists parallel to
     ``q_list``, each bit-identical to ``align_query``.
@@ -437,13 +437,21 @@ def align_query_batch(q_list: list, cand_lists: list, t_flat: np.ndarray,
     the per-query driver), and a second C pass runs the reverse pass +
     banded backtrace (banded_sw, StripedSmithWaterman.cpp:781-980) on
     survivors only. Falls back per query for non-default acceptance
-    parameters (cov/seq-id/accept caps) or without the native lib."""
+    parameters (cov/seq-id/accept caps) or without the native lib.
+
+    ``cand_arrays=(cand_t, cand_off)`` takes the candidate pairs as raw
+    arrays (prefilter_query_batch's as_arrays contract) instead of
+    ``cand_lists``."""
     lib = _native_lib()
     batched_ok = (params.max_accept == INT_MAX
                   and params.max_rejected == INT_MAX
                   and params.cov_thr == 0 and params.seq_id_thr == 0
                   and params.aln_len_thr == 0)
     if lib is None or not batched_ok:
+        if cand_lists is None:
+            ct, co = cand_arrays
+            cand_lists = [ct[co[i]:co[i + 1]].tolist()
+                          for i in range(len(q_list))]
         t_starts = np.asarray(t_starts)
         t_seqs = [t_flat[t_starts[i]:t_starts[i + 1]]
                   for i in range(len(t_starts) - 1)]
@@ -468,14 +476,23 @@ def align_query_batch(q_list: list, cand_lists: list, t_flat: np.ndarray,
     etab = np.ascontiguousarray(expected_score_tab(matrix))
     t_flat = np.ascontiguousarray(t_flat, dtype=np.uint8)
     t_starts = np.ascontiguousarray(t_starts, dtype=np.int64)
-    cand_off = np.zeros(nq + 1, dtype=np.int64)
-    np.cumsum([len(c) for c in cand_lists], out=cand_off[1:])
-    n_pairs = int(cand_off[-1])
-    if n_pairs == 0:
-        return [[] for _ in q_list]
-    cand_t = np.ascontiguousarray(
-        np.concatenate([np.asarray(c, dtype=np.int32)
-                        for c in cand_lists if len(c)]), dtype=np.int32)
+    if cand_arrays is not None:
+        cand_t, cand_off = cand_arrays
+        cand_t = np.ascontiguousarray(cand_t, dtype=np.int32)
+        cand_off = np.ascontiguousarray(cand_off, dtype=np.int64)
+        n_pairs = int(cand_off[-1])
+        if n_pairs == 0:
+            return [[] for _ in q_list]
+    else:
+        cand_off = np.zeros(nq + 1, dtype=np.int64)
+        np.cumsum([len(c) for c in cand_lists], out=cand_off[1:])
+        n_pairs = int(cand_off[-1])
+        if n_pairs == 0:
+            return [[] for _ in q_list]
+        cand_t = np.ascontiguousarray(
+            np.concatenate([np.asarray(c, dtype=np.int32)
+                            for c in cand_lists if len(c)]),
+            dtype=np.int32)
 
     score = np.empty(n_pairs, dtype=np.int32)
     tend = np.empty(n_pairs, dtype=np.int32)

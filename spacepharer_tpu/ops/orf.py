@@ -281,6 +281,61 @@ def find_orfs(contig_ascii: np.ndarray,
     )
 
 
+def find_orfs_batch(cflat: np.ndarray, coff: np.ndarray,
+                    min_length: int = 1,
+                    max_length: int = 2 ** 62,
+                    max_gaps: int = 2 ** 62,
+                    start_mode: int = START_TO_STOP,
+                    table_id: int = 1,
+                    use_all_table_starts: bool = False):
+    """Both-strand ORF scan over MANY contigs in one native call.
+
+    Returns (orf_contig i32, contig_from i64, contig_to i64,
+    complete u8 = inc_start | inc_end << 1, nucl_off i64 [n+1],
+    nucl_data u8) with the reading-direction nucleotide bytes gathered
+    (U->T applied), in find_orfs emission order per contig. Returns
+    None when the native library is unavailable (callers fall back to
+    the per-contig path)."""
+    from ..native import get_lib
+    lib = get_lib()
+    if lib is None or start_mode not in (START_TO_STOP, ANY_TO_STOP,
+                                         LAST_START_TO_STOP):
+        return None
+    aa_lut, stop_list, start_list = codon_tables(table_id)
+    if not use_all_table_starts:
+        start_list = ["ATG"]
+    stops_u8 = _codon_class_lut(stop_list).astype(np.uint8)
+    starts_u8 = _codon_class_lut(start_list).astype(np.uint8)
+    rc_lut = _REVCOMP_LUT.copy()
+    rc_lut[rc_lut == ord(".")] = ord("N")
+    cflat = np.ascontiguousarray(cflat, dtype=np.uint8)
+    coff = np.ascontiguousarray(coff, dtype=np.int64)
+    nc = len(coff) - 1
+    total_nucl = np.zeros(1, dtype=np.int64)
+    n = lib.scan_contigs_batch(
+        cflat.ctypes.data, coff.ctypes.data, nc,
+        _TCAG_CLASS.ctypes.data, stops_u8.ctypes.data,
+        starts_u8.ctypes.data, _IS_GAPPY_U8.ctypes.data,
+        rc_lut.ctypes.data,
+        min(min_length, 1 << 62), min(max_length, 1 << 62),
+        min(max_gaps, 1 << 62), start_mode,
+        total_nucl.ctypes.data)
+    if n < 0:
+        lib.scan_contigs_free()
+        return None
+    orf_contig = np.empty(n + 1, dtype=np.int32)
+    c_from = np.empty(n + 1, dtype=np.int64)
+    c_to = np.empty(n + 1, dtype=np.int64)
+    complete = np.empty(n + 1, dtype=np.uint8)
+    nucl_off = np.empty(n + 2, dtype=np.int64)
+    nucl_data = np.empty(int(total_nucl[0]) + 1, dtype=np.uint8)
+    lib.scan_contigs_fetch(orf_contig.ctypes.data, c_from.ctypes.data,
+                           c_to.ctypes.data, complete.ctypes.data,
+                           nucl_off.ctypes.data, nucl_data.ctypes.data)
+    return (orf_contig[:n], c_from[:n], c_to[:n], complete[:n],
+            nucl_off[:n + 1], nucl_data[:int(total_nucl[0])])
+
+
 def orf_nucl_sequence(contig_ascii: np.ndarray, frame_from: int, frame_to: int,
                       strand: int) -> np.ndarray:
     """Extract the ORF nucleotide sequence in reading direction.

@@ -744,7 +744,8 @@ def prefilter_query_batch(q_list: list, index: TargetIndex,
                           seed_m: Optional[ScoringMatrix] = None,
                           ungapped_m: Optional[ScoringMatrix] = None,
                           enumerator=None, bias80_all=None,
-                          collect_all: bool = False, packed=None) -> list:
+                          collect_all: bool = False, packed=None,
+                          as_arrays: bool = False):
     """Match MANY query ORFs in one native call; returns a list of hit
     lists parallel to ``q_list``, each bit-identical to
     ``prefilter_query`` on that query.
@@ -755,21 +756,38 @@ def prefilter_query_batch(q_list: list, index: TargetIndex,
     per ORF — the catalog-scale wall, BASELINE.md round-3 analysis)
     collapses into one C walk over flat-packed queries. Falls back to
     the per-query driver when no native library is available or the
-    k-mer split is not 3+3."""
+    k-mer split is not 3+3.
+
+    ``as_arrays=True`` returns raw (target, score, diagonal, per-query
+    offsets) arrays instead of PrefilterHit lists — the zero-object
+    contract consumed by the batch aligner at catalog scale."""
     seed_m = seed_m or load_matrix(params.seed_matrix, 8.0)
     ungapped_m = ungapped_m or load_matrix(params.ungapped_matrix, 2.0)
+
+    def _fallback():
+        enum = enumerator or SimilarKmerEnumerator(seed_m.scores)
+        hls = [prefilter_query(
+                   q, index, params, seed_m=seed_m, ungapped_m=ungapped_m,
+                   enumerator=enum,
+                   bias80=None if bias80_all is None else bias80_all[i],
+                   collect_all=collect_all)
+               for i, q in enumerate(q_list)]
+        if not as_arrays:
+            return hls
+        off = np.zeros(len(hls) + 1, dtype=np.int64)
+        np.cumsum([len(h) for h in hls], out=off[1:])
+        t = np.fromiter((h.target for hl in hls for h in hl),
+                        dtype=np.int32, count=int(off[-1]))
+        s = np.fromiter((h.score for hl in hls for h in hl),
+                        dtype=np.int32, count=int(off[-1]))
+        d = np.fromiter((h.diagonal for hl in hls for h in hl),
+                        dtype=np.int32, count=int(off[-1]))
+        return t, s, d, off
 
     from ..native import get_lib
     lib = get_lib()
     if lib is None or params.kmer_size != 6 or len(index.uniq_codes) == 0:
-        if enumerator is None:
-            enumerator = SimilarKmerEnumerator(seed_m.scores)
-        return [prefilter_query(
-                    q, index, params, seed_m=seed_m, ungapped_m=ungapped_m,
-                    enumerator=enumerator,
-                    bias80=None if bias80_all is None else bias80_all[i],
-                    collect_all=collect_all)
-                for i, q in enumerate(q_list)]
+        return _fallback()
 
     from .bias import expected_score_tab
     nq = len(q_list)
@@ -813,20 +831,17 @@ def prefilter_query_batch(q_list: list, index: TargetIndex,
         _bin_bits(len(index.seq_lengths)))
     if total < 0:
         lib.prefilter_batch_free()
-        if enumerator is None:
-            enumerator = SimilarKmerEnumerator(seed_m.scores)
-        return [prefilter_query(
-                    q, index, params, seed_m=seed_m, ungapped_m=ungapped_m,
-                    enumerator=enumerator,
-                    bias80=None if bias80_all is None else bias80_all[i],
-                    collect_all=collect_all)
-                for i, q in enumerate(q_list)]
+        return _fallback()
     out_t = np.empty(total + 1, dtype=np.int32)
     out_s = np.empty(total + 1, dtype=np.int32)
     out_d = np.empty(total + 1, dtype=np.int32)
     out_off = np.empty(nq + 1, dtype=np.int64)
     lib.prefilter_batch_fetch(out_t.ctypes.data, out_s.ctypes.data,
                               out_d.ctypes.data, out_off.ctypes.data)
+    if as_arrays:
+        # raw hit arrays (target, score, signed diagonal, per-query
+        # offsets) — the zero-object contract the batch aligner consumes
+        return out_t[:total], out_s[:total], out_d[:total], out_off
     result = [[] for _ in range(nq)]
     for qi in np.flatnonzero(np.diff(out_off)):
         lo, hi = int(out_off[qi]), int(out_off[qi + 1])

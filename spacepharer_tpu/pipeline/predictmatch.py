@@ -256,33 +256,33 @@ def search_setdbs(query_db: SetDB, target_db: SetDB,
 
     def _prefilter_batch_keys():
         """Native batch prefilter over all keys (chunked for progress
-        feedback); candidate dict like the per-query path."""
+        feedback); candidate pairs stay raw arrays per chunk:
+        [(chunk_keys, cand_t, cand_off), ...]."""
         from ..ops.prefilter import prefilter_query_batch
         from ..logging import Progress
         prog = Progress(total=len(keys), label="prefilter ")
-        out = {}
+        out = []
         for lo in range(0, len(keys), _BATCH_CHUNK):
             chunk = keys[lo:lo + _BATCH_CHUNK]
-            hls = prefilter_query_batch(
+            ct, _, _, co = prefilter_query_batch(
                 [q_all[k] for k in chunk], index, params.prefilter,
-                seed_m, ungapped_m, packed=_chunk_packed(chunk))
-            for k, hl in zip(chunk, hls):
-                out[k] = [h.target for h in hl]
+                seed_m, ungapped_m, packed=_chunk_packed(chunk),
+                as_arrays=True)
+            out.append((chunk, ct, co))
             prog.update(len(chunk))
         prog.done()
         return out
 
-    def _align_batch_keys(cand):
+    def _align_batch_chunks(cand_chunks):
         from ..ops.align import align_query_batch
         from ..logging import Progress
         prog = Progress(total=len(keys), label="align ")
         prot = {}
-        for lo in range(0, len(keys), _BATCH_CHUNK):
-            chunk = keys[lo:lo + _BATCH_CHUNK]
+        for chunk, ct, co in cand_chunks:
             res = align_query_batch(
-                [q_all[k] for k in chunk], [cand[k] for k in chunk],
+                [q_all[k] for k in chunk], None,
                 t_flat, t_off, m40, params.align, evaluer,
-                packed=_chunk_packed(chunk))
+                packed=_chunk_packed(chunk), cand_arrays=(ct, co))
             for k, rows in zip(chunk, res):
                 prot[k] = [r.row_fields() for r in rows]
             prog.update(len(chunk))
@@ -339,23 +339,41 @@ def search_setdbs(query_db: SetDB, target_db: SetDB,
                 backend=backend)
             cand = {k: [h.target for h in hits_all[k]] for k in keys}
         elif use_batch:
-            cand = _prefilter_batch_keys()
+            cand_chunks = _prefilter_batch_keys()
+            # exact candidate DP cells, vectorized over the pair arrays
+            q_lens = np.diff(q_off)
+            t_lens = np.diff(t_off)
+            cells = 0
+            for chunk, ct, co in cand_chunks:
+                if len(ct) == 0:
+                    continue
+                qlen_pair = np.repeat(q_lens[np.asarray(chunk)],
+                                      np.diff(co))
+                cells += int(np.dot(qlen_pair, t_lens[ct]))
+            cand = None
         else:
             cand = _run_keyed(_prefilter_one, keys, n_threads,
                               len(keys) * t_res > 2e10,
                               label="prefilter ")
-        cells = sum(
-            len(q_all[k]) * sum(len(t_aa[t]) for t in cand[k])
-            for k in keys)
+        if cand is not None:
+            cells = sum(
+                len(q_all[k]) * sum(len(t_aa[t]) for t in cand[k])
+                for k in keys)
         engage = not force_host and (use_tpu or params.mesh is not None
                                      or cells > _DEVICE_CELLS_THRESHOLD)
         log(2, f"candidate cells {cells:.3g} -> "
                f"{'device' if engage else 'host'} scoring engine")
+        if cand is None and (engage or not batched_aln_ok):
+            # these consumers want per-key target lists
+            cand = {}
+            for chunk, ct, co in cand_chunks:
+                for i, k in enumerate(chunk):
+                    cand[k] = ct[co[i]:co[i + 1]].tolist()
         if engage:
             prot = _search_tpu(keys, t_aa, cand, q_all, m40,
                                evaluer, params)
-        elif use_batch and batched_aln_ok:
-            prot = _align_batch_keys(cand)
+        elif cand is None:
+            prot = _align_batch_chunks(cand_chunks)
         else:
             def _align_one(qkey):
                 results = align_query(q_all[qkey], cand[qkey], t_aa, m40,
