@@ -163,6 +163,26 @@ def get_lib():
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,         # out
         ctypes.c_void_p, ctypes.c_void_p,                          # out
         ctypes.c_void_p, ctypes.c_void_p,                          # bt
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,         # rle
+    ]
+    lib.nucl_rescore_batch.restype = None
+    lib.nucl_rescore_batch.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p,                          # pool
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,          # rows
+        ctypes.c_void_p, ctypes.c_void_p,                          # starts
+        ctypes.c_void_p, ctypes.c_void_p,                          # bt
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32,          # enc/mat
+        ctypes.c_int32, ctypes.c_int32,                            # gaps
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,         # out
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,         # new bt
+    ]
+    lib.orf_nucl_ranges.restype = None
+    lib.orf_nucl_ranges.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p,                          # contigs
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,         # orf meta
+        ctypes.c_void_p, ctypes.c_int64,                           # keys
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32,          # luts
+        ctypes.c_void_p, ctypes.c_void_p,                          # out
     ]
     _lib = lib
     return _lib

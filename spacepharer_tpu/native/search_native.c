@@ -1035,6 +1035,139 @@ static int64_t banded_backtrace(
     return n_ops;
 }
 
+/* ---- nucleotide re-scoring of protein alignments ----
+ *
+ * Batched core of proteinaln2nucl
+ * (lib/mmseqs/src/util/proteinaln2nucl.cpp:60-203): walk each row's
+ * compressed protein backtrace at 3x against the ORF nucleotide
+ * sequences, scoring M runs with the nucleotide matrix and D/I runs
+ * with the nucleotide gap costs, counting identities on the raw
+ * bytes. Also emits the 3x run-length backtrace. E-value/bit-score
+ * recomputation stays vectorized in Python (report/nuclaln.py). */
+void nucl_rescore_batch(
+    const uint8_t *pool, const int64_t *pool_off,
+    const int32_t *row_qpool, const int32_t *row_tpool, int64_t n_rows,
+    const int32_t *row_qstart, const int32_t *row_tstart,
+    const uint8_t *bt_flat, const int64_t *bt_off,
+    const uint8_t *enc_lut /*256*/, const int32_t *mat /*[nA*nA]*/,
+    int32_t nA, int32_t gap_open, int32_t gap_extend,
+    int64_t *out_score, int32_t *out_ids, int32_t *out_alnlen,
+    uint8_t *new_bt, const int64_t *new_bt_off, int32_t *out_btlen) {
+    for (int64_t r = 0; r < n_rows; r++) {
+        const uint8_t *q = pool + pool_off[row_qpool[r]];
+        const uint8_t *t = pool + pool_off[row_tpool[r]];
+        const uint8_t *bt = bt_flat + bt_off[r];
+        int64_t bn = bt_off[r + 1] - bt_off[r];
+        uint8_t *ob = new_bt + new_bt_off[r];
+        int64_t qp = row_qstart[r], tp = row_tstart[r];
+        int64_t score = 0, o = 0;
+        int32_t ids = 0, alnlen = 0;
+        int64_t cnt = 0;
+        for (int64_t i = 0; i < bn; i++) {
+            uint8_t c = bt[i];
+            if (c >= '0' && c <= '9') {
+                cnt = cnt * 10 + (c - '0');
+                continue;
+            }
+            int64_t n = cnt ? cnt : 1;
+            int64_t n3 = n * 3;
+            if (c == 'M') {
+                for (int64_t k = 0; k < n3; k++) {
+                    ids += (q[qp] == t[tp]);
+                    score += mat[(int64_t)enc_lut[q[qp]] * nA
+                                 + enc_lut[t[tp]]];
+                    qp++;
+                    tp++;
+                }
+            } else if (c == 'D') {
+                tp += n3;
+                score -= gap_open + ((n - 1) * 3) * gap_extend;
+            } else if (c == 'I') {
+                qp += n3;
+                score -= gap_open + ((n - 1) * 3) * gap_extend;
+            }
+            alnlen += (int32_t)n3;
+            /* append f"{n*3}{c}" */
+            char tmp[24];
+            int64_t v = n3, d = 0;
+            do { tmp[d++] = (char)('0' + v % 10); v /= 10; } while (v);
+            while (d) ob[o++] = (uint8_t)tmp[--d];
+            ob[o++] = c;
+            cnt = 0;
+        }
+        out_score[r] = score;
+        out_ids[r] = ids;
+        out_alnlen[r] = alnlen;
+        out_btlen[r] = (int32_t)o;
+    }
+}
+
+/* ---- on-demand ORF nucleotide derivation, batched ----
+ *
+ * One pass over many ORFs: contig slice, strand handling
+ * (revcomp LUT on minus), U->T (both folded into per-strand LUTs by
+ * the caller), optional control-DB codon reversal — the
+ * SetDB.orf_nucl() reconstruction (Orf::getSequence +
+ * ReverseSeqByCodon semantics) without a Python call per key. */
+void orf_nucl_ranges(
+    const uint8_t *contig_flat, const int64_t *contig_off,
+    const int32_t *orf_contig, const int64_t *orf_from,
+    const int64_t *orf_to,
+    const int32_t *keys, int64_t n_keys,
+    const uint8_t *fwd_lut /*256: U->T*/,
+    const uint8_t *rc_lut /*256: complement + '.'->N + U->T*/,
+    int32_t reverse_codons,
+    const int64_t *out_off, uint8_t *out) {
+    for (int64_t i = 0; i < n_keys; i++) {
+        int32_t k = keys[i];
+        const uint8_t *c = contig_flat + contig_off[orf_contig[k]];
+        int64_t f = orf_from[k], t = orf_to[k];
+        uint8_t *dst = out + out_off[i];
+        int64_t len = out_off[i + 1] - out_off[i];
+        if (f <= t) {
+            for (int64_t j = 0; j < len; j++)
+                dst[j] = fwd_lut[c[f + j]];
+        } else {
+            for (int64_t j = 0; j < len; j++)
+                dst[j] = rc_lut[c[f - j]];
+        }
+        if (reverse_codons) {
+            for (int64_t a = 0, b = len - 3; a < b; a += 3, b -= 3) {
+                for (int64_t x = 0; x < 3; x++) {
+                    uint8_t tmp = dst[a + x];
+                    dst[a + x] = dst[b + x];
+                    dst[b + x] = tmp;
+                }
+            }
+        }
+    }
+}
+
+/* run-length encode a raw M/I/D backtrace like
+ * Matcher::compressAlignment (Matcher.cpp:214-233, including the
+ * initial state='M' count=0 quirk). Returns the encoded length. */
+static int64_t bt_rle(const uint8_t *bt, int64_t n, uint8_t *out) {
+    uint8_t state = 'M';
+    int64_t count = 0, o = 0;
+    for (int64_t i = 0; i <= n; i++) {
+        if (i < n && bt[i] == state) {
+            count++;
+            continue;
+        }
+        /* flush f"{count}{state}" */
+        char tmp[24];
+        int64_t c = count, d = 0;
+        do { tmp[d++] = (char)('0' + c % 10); c /= 10; } while (c);
+        while (d) out[o++] = (uint8_t)tmp[--d];
+        out[o++] = state;
+        if (i < n) {
+            state = bt[i];
+            count = 1;
+        }
+    }
+    return o;
+}
+
 typedef struct {
     const uint8_t *qflat;
     const int64_t *qstarts;
@@ -1050,6 +1183,9 @@ typedef struct {
     int32_t *out_qstart, *out_tstart, *out_rscore, *out_aaids, *out_btlen;
     uint8_t *bt_buf;
     const int64_t *bt_off;
+    uint8_t *rle_buf;              /* optional: RLE backtraces */
+    const int64_t *rle_off;
+    int32_t *out_rlelen;
     volatile int64_t *next_p;
 } at_shared_t;
 
@@ -1110,6 +1246,11 @@ static void *at_worker_main(void *arg) {
                 &ids, &w->hrows, &w->dir);
             sh->out_aaids[pi] = ids;
             sh->out_btlen[pi] = (int32_t)btlen;
+            if (sh->rle_buf) {
+                sh->out_rlelen[pi] = (btlen < 0) ? -1
+                    : (int32_t)bt_rle(sh->bt_buf + sh->bt_off[pi], btlen,
+                                      sh->rle_buf + sh->rle_off[pi]);
+            }
         }
     }
     return NULL;
@@ -1130,14 +1271,15 @@ void align_traceback_batch(
     int32_t gap_open, int32_t gap_extend,
     int32_t *out_qstart, int32_t *out_tstart, int32_t *out_rscore,
     int32_t *out_aaids, int32_t *out_btlen,
-    uint8_t *bt_buf, const int64_t *bt_off) {
+    uint8_t *bt_buf, const int64_t *bt_off,
+    uint8_t *rle_buf, const int64_t *rle_off, int32_t *out_rlelen) {
     volatile int64_t next_p = 0;
     at_shared_t sh = {
         qflat, qstarts, sub, A, expected_tab, comp_bias_corr,
         tflat, tstarts, pair_q, pair_t, pair_score, pair_tend, pair_qend,
         n_pairs, gap_open, gap_extend,
         out_qstart, out_tstart, out_rscore, out_aaids, out_btlen,
-        bt_buf, bt_off, &next_p,
+        bt_buf, bt_off, rle_buf, rle_off, out_rlelen, &next_p,
     };
     int nw = n_workers(n_pairs);
     at_worker_t workers[MAXW];

@@ -425,7 +425,8 @@ X_COL = 20  # X column index used for target padding (masked by t_len)
 def align_query_batch(q_list: list, cand_lists: list, t_flat: np.ndarray,
                       t_starts: np.ndarray, matrix: ScoringMatrix,
                       params: AlnParams, evaluer: EvalueComputer,
-                      packed=None, cand_arrays=None) -> list:
+                      packed=None, cand_arrays=None,
+                      as_rows: bool = False) -> list:
     """Align MANY queries against their candidate lists in two native
     calls; returns a list of accepted-``AlnResult`` lists parallel to
     ``q_list``, each bit-identical to ``align_query``.
@@ -455,8 +456,11 @@ def align_query_batch(q_list: list, cand_lists: list, t_flat: np.ndarray,
         t_starts = np.asarray(t_starts)
         t_seqs = [t_flat[t_starts[i]:t_starts[i + 1]]
                   for i in range(len(t_starts) - 1)]
-        return [align_query(q, cands, t_seqs, matrix, params, evaluer)
-                for q, cands in zip(q_list, cand_lists)]
+        out = [align_query(q, cands, t_seqs, matrix, params, evaluer)
+               for q, cands in zip(q_list, cand_lists)]
+        if as_rows:
+            return [[r.row_fields() for r in res] for res in out]
+        return out
 
     from .bias import expected_score_tab
     nq = len(q_list)
@@ -526,11 +530,16 @@ def align_query_batch(q_list: list, cand_lists: list, t_flat: np.ndarray,
     bt_off = np.zeros(n_s + 1, dtype=np.int64)
     np.cumsum(s_qend.astype(np.int64) + s_tend + 4, out=bt_off[1:])
     bt_buf = np.empty(int(bt_off[-1]), dtype=np.uint8)
+    rle_off = np.zeros(n_s + 1, dtype=np.int64)
+    np.cumsum(2 * (s_qend.astype(np.int64) + s_tend + 4) + 4,
+              out=rle_off[1:])
+    rle_buf = np.empty(int(rle_off[-1]), dtype=np.uint8)
     o_qstart = np.empty(n_s, dtype=np.int32)
     o_tstart = np.empty(n_s, dtype=np.int32)
     o_rscore = np.empty(n_s, dtype=np.int32)
     o_aaids = np.empty(n_s, dtype=np.int32)
     o_btlen = np.empty(n_s, dtype=np.int32)
+    o_rlelen = np.empty(n_s, dtype=np.int32)
     lib.align_traceback_batch(
         qflat.ctypes.data, qstarts.ctypes.data,
         sub32.ctypes.data, sub32.shape[1], etab.ctypes.data,
@@ -541,11 +550,18 @@ def align_query_batch(q_list: list, cand_lists: list, t_flat: np.ndarray,
         params.gap_open, params.gap_extend,
         o_qstart.ctypes.data, o_tstart.ctypes.data, o_rscore.ctypes.data,
         o_aaids.ctypes.data, o_btlen.ctypes.data,
-        bt_buf.ctypes.data, bt_off.ctypes.data)
+        bt_buf.ctypes.data, bt_off.ctypes.data,
+        rle_buf.ctypes.data, rle_off.ctypes.data, o_rlelen.ctypes.data)
 
     surv_eval = evals[surv]
     bits = evaluer.bit_score(s_score)
     t_lens = np.diff(t_starts)
+    if as_rows:
+        return _format_rows(q_list, params, matrix, evaluer, qlens,
+                            t_lens, t_flat, t_starts, s_q, s_t, s_score,
+                            s_qend, s_tend, o_qstart, o_tstart, o_rscore,
+                            o_aaids, o_btlen, o_rlelen, rle_buf, rle_off,
+                            surv_eval, bits)
     for i in range(n_s):
         qi = int(s_q[i])
         lq = int(qlens[qi])
@@ -584,6 +600,72 @@ def align_query_batch(q_list: list, cand_lists: list, t_flat: np.ndarray,
             t_cov=(t_end + 1 - t_start) / t_len))
     for rows in results:
         rows.sort(key=lambda r: (r.evalue, -r.raw_score, r.t_len, r.target))
+    return results
+
+
+def _format_rows(q_list, params, matrix, evaluer, qlens, t_lens,
+                 t_flat, t_starts, s_q, s_t, s_score, s_qend, s_tend,
+                 o_qstart, o_tstart, o_rscore, o_aaids, o_btlen, o_rlelen,
+                 rle_buf, rle_off, surv_eval, bits):
+    """as_rows tail of align_query_batch: 11-field text rows per query,
+    identical to [r.row_fields() for r in ...] on the AlnResult path
+    (backtrace run-length encoding came from the C pass)."""
+    n_s = len(s_q)
+    # vectorized fastSeqIdToBuffer pieces (format_seq_id semantics)
+    with np.errstate(invalid="ignore"):
+        fs = (o_aaids / np.maximum(o_btlen, 1)).astype(np.float32)
+    fs = np.where(o_btlen > 0, fs, np.float32(0.0))
+    mill = (fs * np.float32(1000)).astype(np.int64)
+    is_one = fs == np.float32(1.0)
+    lt10 = fs < np.float32(0.10)
+    lt01 = fs < np.float32(0.01)
+    # int(x + 0.5) truncation for bit scores
+    bits_i = np.trunc(bits + 0.5).astype(np.int64)
+
+    per_q = {}
+    ev_l = surv_eval.tolist()
+    sc_l = s_score.tolist()
+    tl_l = t_lens[s_t].tolist()
+    tt_l = s_t.tolist()
+    for i in range(n_s):
+        per_q.setdefault(int(s_q[i]), []).append(i)
+
+    results = [[] for _ in q_list]
+    rle_b = rle_buf.tobytes()
+    for qi, idxs in per_q.items():
+        idxs.sort(key=lambda i: (ev_l[i], -sc_l[i], tl_l[i], tt_l[i]))
+        lq_s = str(int(qlens[qi]))
+        rows = results[qi]
+        for i in idxs:
+            if o_btlen[i] < 0:
+                # traceback error: per-pair fallback (raises like the
+                # per-query driver would)
+                bias = (sw_bias_i8(q_list[qi], matrix)
+                        if params.comp_bias_corr else None)
+                res = sw_align(q_list[qi],
+                               t_flat[t_starts[s_t[i]]:
+                                      t_starts[s_t[i] + 1]],
+                               matrix, params, evaluer, bias)
+                if res is None:
+                    continue
+                res.target = int(s_t[i])
+                rows.append(res.row_fields())
+                continue
+            assert int(o_rscore[i]) == sc_l[i], (int(o_rscore[i]),
+                                                 sc_l[i])
+            if is_one[i]:
+                sid = "1.00"
+            else:
+                sid = ("0.00" if lt01[i] else "0.0" if lt10[i] else "0.") \
+                    + str(int(mill[i]))
+            rows.append([
+                str(tt_l[i]), str(int(bits_i[i])), sid,
+                f"{ev_l[i]:.3E}",
+                str(int(o_qstart[i])), str(int(s_qend[i])), lq_s,
+                str(int(o_tstart[i])), str(int(s_tend[i])),
+                str(tl_l[i]),
+                rle_b[rle_off[i]:rle_off[i] + o_rlelen[i]]
+                .decode("ascii")])
     return results
 
 

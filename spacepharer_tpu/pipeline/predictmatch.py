@@ -149,7 +149,7 @@ def search_setdbs(query_db: SetDB, target_db: SetDB,
     if not split_mode:
         if pf_engine == "device":
             use_dev_pf = True
-        elif pf_engine == "auto" and _accelerator_present():
+        elif pf_engine == "auto":
             from ..ops.prefilter import persisted_index_exists
             has_idx = bool(target_db.path) and persisted_index_exists(
                 target_db.path, params.prefilter)
@@ -171,6 +171,11 @@ def search_setdbs(query_db: SetDB, target_db: SetDB,
             use_dev_pf = (dense_cells > (1e12 if has_idx else 1e10)
                           and dense_seconds < 15.0
                           and nk_total <= (1 << 15))
+            # _accelerator_present() initializes the PJRT client
+            # (~10 s on relay hosts) — ask only when the cheap shape
+            # gates have already passed, so catalog-scale searches
+            # never pay it (round-3 weak #2/#6 territory)
+            use_dev_pf = use_dev_pf and _accelerator_present()
 
     index = None
     save_thread = None
@@ -282,9 +287,10 @@ def search_setdbs(query_db: SetDB, target_db: SetDB,
             res = align_query_batch(
                 [q_all[k] for k in chunk], None,
                 t_flat, t_off, m40, params.align, evaluer,
-                packed=_chunk_packed(chunk), cand_arrays=(ct, co))
+                packed=_chunk_packed(chunk), cand_arrays=(ct, co),
+                as_rows=True)
             for k, rows in zip(chunk, res):
-                prot[k] = [r.row_fields() for r in rows]
+                prot[k] = rows
             prog.update(len(chunk))
         prog.done()
         return prot
@@ -314,13 +320,26 @@ def search_setdbs(query_db: SetDB, target_db: SetDB,
     cells_ceiling = (q_res_total
                      * min(params.prefilter.max_seqs, len(t_aa)) * avg_t)
     use_tpu = params.use_tpu
-    force_host = use_tpu is False or (use_tpu is None
-                                      and not _accelerator_present())
-    if params.mesh is not None and use_tpu is not False:
-        force_host = False
-    two_phase = use_dev_pf or (not force_host and (
-        use_tpu or params.mesh is not None
-        or cells_ceiling > _DEVICE_CELLS_THRESHOLD))
+
+    def _device_engage(cells):
+        """Scoring-engine choice for a known candidate-cell count. The
+        accelerator probe initializes the PJRT client (~10 s on relay
+        hosts), so it runs only AFTER the cell threshold passes —
+        catalog-scale searches (sparse candidates) never pay it."""
+        if use_tpu is False:
+            return False
+        if use_tpu or params.mesh is not None:
+            return True
+        return (cells > _DEVICE_CELLS_THRESHOLD
+                and _accelerator_present())
+
+    if use_batch:
+        two_phase = True       # batch route is always prefilter-first
+    else:
+        two_phase = use_dev_pf or (use_tpu is not False and (
+            use_tpu or params.mesh is not None
+            or (cells_ceiling > _DEVICE_CELLS_THRESHOLD
+                and _accelerator_present())))
 
     batched_aln_ok = (params.align.max_accept == INT_MAX
                       and params.align.max_rejected == INT_MAX
@@ -359,8 +378,7 @@ def search_setdbs(query_db: SetDB, target_db: SetDB,
             cells = sum(
                 len(q_all[k]) * sum(len(t_aa[t]) for t in cand[k])
                 for k in keys)
-        engage = not force_host and (use_tpu or params.mesh is not None
-                                     or cells > _DEVICE_CELLS_THRESHOLD)
+        engage = _device_engage(cells)
         log(2, f"candidate cells {cells:.3g} -> "
                f"{'device' if engage else 'host'} scoring engine")
         if cand is None and (engage or not batched_aln_ok):
@@ -453,10 +471,10 @@ def _nucl_merge(prot: dict, query_db: SetDB, target_db: SetDB,
 
     # nucl sequences only for queries that HAVE rows (at catalog scale
     # almost all queries have none; gathering all 10^5+ is pure waste)
-    q_nucl = {k: query_db.orf_nucl(k) for k, rows in prot.items() if rows}
-    t_nucl = {int(r[0]): None for rows in prot.values() for r in rows}
-    for tkey in t_nucl:
-        t_nucl[tkey] = target_db.orf_nucl(tkey)
+    q_nucl = query_db.orf_nucl_batch(
+        [k for k, rows in prot.items() if rows])
+    t_nucl = target_db.orf_nucl_batch(
+        {int(r[0]) for rows in prot.values() for r in rows})
     nucl_ev = EvalueComputer(
         gumbel_params("nucleotide.out", params.nucl_gap_open,
                       params.nucl_gap_extend),
@@ -527,9 +545,9 @@ def _search_split(t_aa, packed, params, m40, enumerator, evaluer,
         chunk = keys[blo:blo + _BATCH_CHUNK]
         res = align_query_batch(
             [q_all[k] for k in chunk], [merged_cand[k] for k in chunk],
-            t_flat, t_off, m40, params.align, evaluer)
+            t_flat, t_off, m40, params.align, evaluer, as_rows=True)
         for k, rows in zip(chunk, res):
-            prot[k] = [r.row_fields() for r in rows]
+            prot[k] = rows
     return prot
 
 
@@ -649,7 +667,8 @@ def _aggregate_chain(result: dict, query_db: SetDB, target_db: SetDB):
     """besthitperset -> mergeresultsbyset -> combinescore."""
     t_m2s = target_db.orf_to_set
     t_sizes = target_db.set_size
-    aggregate = {k: best_hit_per_set(rows, t_m2s, t_sizes)
+    aggregate = {k: (best_hit_per_set(rows, t_m2s, t_sizes) if rows
+                     else [])
                  for k, rows in result.items()}
     q_m2s = query_db.orf_to_set
     set_to_members = {}

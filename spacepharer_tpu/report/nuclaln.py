@@ -29,6 +29,11 @@ def protein_aln_to_nucl(entries: dict, q_nucl_seqs, t_nucl_seqs,
     nucleotide sequences (uint8 ASCII) by key.
     """
     nucl_m = load_nucleotide_matrix()
+    from ..native import get_lib
+    lib = get_lib()
+    if lib is not None:
+        return _rescore_native(lib, entries, q_nucl_seqs, t_nucl_seqs,
+                               nucl_m, evaluer, gap_open, gap_extend)
     t_cache = {}
 
     def _t(tkey):
@@ -109,32 +114,149 @@ def protein_aln_to_nucl(entries: dict, q_nucl_seqs, t_nucl_seqs,
     return out
 
 
+def _rescore_native(lib, entries, q_nucl_seqs, t_nucl_seqs, nucl_m,
+                    evaluer, gap_open, gap_extend):
+    """nucl_rescore_batch path of protein_aln_to_nucl: one C walk over
+    every row's compressed backtrace, then ONE vectorized E-value /
+    bit-score call. Row-identical to the Python path."""
+    from ..alphabet import encode_nucl as _enc
+
+    pool_idx = {}
+    pool_parts = []
+
+    def _pool(kind, key, seqs):
+        i = pool_idx.get((kind, key))
+        if i is None:
+            i = len(pool_parts)
+            pool_parts.append(np.asarray(seqs[key], dtype=np.uint8))
+            pool_idx[(kind, key)] = i
+        return i
+
+    staged = []     # (qkey, row, qpool, tpool)
+    bt_parts = []
+    for qkey, rows in entries.items():
+        if not rows:
+            continue
+        qp = _pool("q", qkey, q_nucl_seqs)
+        for row in rows:
+            staged.append((qkey, row, qp,
+                           _pool("t", int(row[0]), t_nucl_seqs)))
+            bt_parts.append(row[10].encode("ascii"))
+
+    out = {qkey: [] for qkey in entries}
+    n = len(staged)
+    if n == 0:
+        return out
+    pool_off = np.zeros(len(pool_parts) + 1, dtype=np.int64)
+    np.cumsum([len(p) for p in pool_parts], out=pool_off[1:])
+    pool = (np.concatenate(pool_parts) if pool_off[-1]
+            else np.zeros(1, np.uint8))
+    row_qpool = np.fromiter((s[2] for s in staged), dtype=np.int32,
+                            count=n)
+    row_tpool = np.fromiter((s[3] for s in staged), dtype=np.int32,
+                            count=n)
+    row_qstart = np.fromiter((int(s[1][4]) * 3 for s in staged),
+                             dtype=np.int32, count=n)
+    row_tstart = np.fromiter((int(s[1][7]) * 3 for s in staged),
+                             dtype=np.int32, count=n)
+    bt_off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum([len(b) for b in bt_parts], out=bt_off[1:])
+    bt_flat = np.frombuffer(b"".join(bt_parts), dtype=np.uint8)
+    new_off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(2 * np.diff(bt_off) + 4, out=new_off[1:])
+    new_bt = np.empty(int(new_off[-1]) + 1, dtype=np.uint8)
+    enc_lut = np.ascontiguousarray(
+        _enc(np.arange(256, dtype=np.uint8)), dtype=np.uint8)
+    mat = np.ascontiguousarray(nucl_m.scores, dtype=np.int32)
+    o_score = np.empty(n, dtype=np.int64)
+    o_ids = np.empty(n, dtype=np.int32)
+    o_alnlen = np.empty(n, dtype=np.int32)
+    o_btlen = np.empty(n, dtype=np.int32)
+    lib.nucl_rescore_batch(
+        pool.ctypes.data, pool_off.ctypes.data,
+        row_qpool.ctypes.data, row_tpool.ctypes.data, n,
+        row_qstart.ctypes.data, row_tstart.ctypes.data,
+        bt_flat.ctypes.data, bt_off.ctypes.data,
+        enc_lut.ctypes.data, mat.ctypes.data, mat.shape[1],
+        gap_open, gap_extend,
+        o_score.ctypes.data, o_ids.ctypes.data, o_alnlen.ctypes.data,
+        new_bt.ctypes.data, new_off.ctypes.data, o_btlen.ctypes.data)
+
+    qlens = (pool_off[row_qpool + 1] - pool_off[row_qpool]).astype(np.int64)
+    tlens = (pool_off[row_tpool + 1] - pool_off[row_tpool]).astype(np.int64)
+    bit_scores = evaluer.bit_score(o_score)
+    evalues = evaluer.evalue(o_score, qlens)
+    bits_i = np.trunc(bit_scores).astype(np.int64)   # C truncation
+    with np.errstate(invalid="ignore"):
+        fs = (o_ids / np.maximum(o_alnlen, 1)).astype(np.float32)
+    fs = np.where(o_alnlen > 0, fs, np.float32(0.0))
+    # vectorized fastSeqIdToBuffer pieces (format_seq_id semantics)
+    mill = (fs * np.float32(1000)).astype(np.int64)
+    is_one = fs == np.float32(1.0)
+    lt10 = fs < np.float32(0.10)
+    lt01 = fs < np.float32(0.01)
+    ev_l = evalues.tolist()
+    qs_l = row_qstart.tolist()
+    ts_l = row_tstart.tolist()
+    ql_l = qlens.tolist()
+    tl_l = tlens.tolist()
+    bits_l = bits_i.tolist()
+    nb = new_bt.tobytes()
+    for i, (qkey, row, _, _) in enumerate(staged):
+        if is_one[i]:
+            sid = "1.00"
+        else:
+            sid = ("0.00" if lt01[i] else "0.0" if lt10[i] else "0.") \
+                + str(int(mill[i]))
+        out[qkey].append([
+            row[0], str(bits_l[i]), sid,
+            f"{ev_l[i]:.3E}",
+            str(qs_l[i]), str(int(row[5]) * 3 + 2), str(ql_l[i]),
+            str(ts_l[i]), str(int(row[8]) * 3 + 2), str(tl_l[i]),
+            nb[new_off[i]:new_off[i] + o_btlen[i]].decode("ascii")])
+    return out
+
+
 def combine_prot_nucl(prot_entries: dict, nucl_entries: dict) -> dict:
     """Merge protein and nucleotide alignments per CombineProtNuclAln.cpp."""
     out = {}
     FLT_MAX = 3.4028234663852886e38
+    # pass 1: collect every (prot, nucl) pair's string floats, parse
+    # them in one C-level np.asarray call, compute the combined
+    # E-values vectorized (same float ops elementwise)
+    staged = []                   # (qkey, prow, pair_idx or -1)
+    pe_s, ne_s, nsid_s = [], [], []
     for qkey, prot_rows in prot_entries.items():
         nucl_rows = nucl_entries.get(qkey)
         if nucl_rows is None:
             continue
         # last nucl row per target wins, like the reference's full scan
         nucl_by_t = {nrow[0]: nrow for nrow in nucl_rows}
-        merged = []
         for prow in prot_rows:
-            tkey = prow[0]
-            prot_eval = float(prow[3])
-            updated_eval = FLT_MAX
-            nucl_seq_id = 0.0
-            nrow = nucl_by_t.get(tkey)
-            if nrow is not None:
-                nucl_seq_id = float(nrow[2])
-                nucl_eval = float(nrow[3])
-                log_p = math.log(prot_eval) if prot_eval > 0 else -math.inf
-                log_n = math.log(nucl_eval) if nucl_eval > 0 else -math.inf
-                mean_log = log_p * 0.5 + log_n * 0.5
-                updated_eval = (math.exp(mean_log)
-                                if mean_log < log_n else nucl_eval)
-            merged.append([prow[0], prow[1], fmt_e3(nucl_seq_id),
-                           fmt_e3(updated_eval)] + list(prow[4:]))
-        out[qkey] = merged
+            nrow = nucl_by_t.get(prow[0])
+            if nrow is None:
+                staged.append((qkey, prow, -1))
+            else:
+                staged.append((qkey, prow, len(pe_s)))
+                pe_s.append(prow[3])
+                ne_s.append(nrow[3])
+                nsid_s.append(nrow[2])
+        out[qkey] = []
+    if pe_s:
+        pe = np.asarray(pe_s, dtype=np.float64)
+        ne = np.asarray(ne_s, dtype=np.float64)
+        with np.errstate(divide="ignore"):
+            log_p = np.where(pe > 0, np.log(pe), -np.inf)
+            log_n = np.where(ne > 0, np.log(ne), -np.inf)
+        mean_log = log_p * 0.5 + log_n * 0.5
+        with np.errstate(over="ignore", invalid="ignore"):
+            upd = np.where(mean_log < log_n, np.exp(mean_log), ne)
+        upd_l = upd.tolist()
+    for qkey, prow, pi in staged:
+        if pi < 0:
+            out[qkey].append([prow[0], prow[1], fmt_e3(0.0),
+                              fmt_e3(FLT_MAX)] + list(prow[4:]))
+        else:
+            out[qkey].append([prow[0], prow[1], fmt_e3(float(nsid_s[pi])),
+                              fmt_e3(upd_l[pi])] + list(prow[4:]))
     return out
