@@ -84,6 +84,7 @@ static void local_bias(const uint8_t *q, int64_t lq,
 typedef struct {
     int16_t *codes;   /* [N_HALF] half codes in enumeration order */
     int16_t *scores;  /* [N_HALF] their scores, descending */
+    int16_t *rank;    /* [N_HALF] rank[code] = its enumeration position */
 } half_entry_t;
 
 static half_entry_t g_half[N_HALF];
@@ -94,8 +95,10 @@ static pthread_mutex_t g_half_mu = PTHREAD_MUTEX_INITIALIZER;
 static void half_cache_reset(void) {
     for (int i = 0; i < N_HALF; i++) {
         free(g_half[i].codes);
+        free(g_half[i].rank);
         g_half[i].codes = NULL;
         g_half[i].scores = NULL;
+        g_half[i].rank = NULL;
     }
 }
 
@@ -144,13 +147,16 @@ static const half_entry_t *half_list(int32_t tri) {
     }
     int16_t *oc = (int16_t *)malloc(sizeof(int16_t) * N_HALF);
     int16_t *os = (int16_t *)malloc(sizeof(int16_t) * N_HALF);
+    int16_t *rk = (int16_t *)malloc(sizeof(int16_t) * N_HALF);
     for (c = 0; c < N_HALF; c++) {
         int32_t pos = cnt[s[c] - smin]++;
         oc[pos] = (int16_t)c;
         os[pos] = (int16_t)s[c];
+        rk[c] = (int16_t)pos;
     }
     free(cnt);
     e->scores = os;
+    e->rank = rk;
     __atomic_store_n(&e->codes, oc, __ATOMIC_RELEASE);
     pthread_mutex_unlock(&g_half_mu);
     return e;
@@ -222,6 +228,8 @@ typedef struct {
     volatile int *error;
 } pf_shared_t;
 
+typedef struct { int32_t rank; int64_t idx; } pf_loc_t;
+
 typedef struct {
     pf_shared_t *sh;
     int wid;
@@ -230,6 +238,7 @@ typedef struct {
     int64_t h_n;
     /* scratch */
     buf_t bias, prof, aacorr, st_t, st_d, fin;
+    pf_loc_t *loc;                /* [N_HALF] intersection scratch */
 } pf_worker_t;
 
 #define PF_CHUNK 64
@@ -295,23 +304,57 @@ static void pf_one_query(pf_worker_t *w, int64_t qi) {
         for (int32_t i1 = 0; i1 < n1; i1++) {
             int32_t c1 = h1->codes[i1];
             int64_t rlo = sh->c1_start[c1], rhi = sh->c1_start[c1 + 1];
+            if (rlo == rhi)
+                continue;      /* no index code has this high half */
             int32_t n2 = count_ge(h2->scores, N_HALF,
                                   thr - h1->scores[i1]);
-            if (rlo == rhi)
-                continue;
-            for (int32_t i2 = 0; i2 < n2; i2++) {
-                uint16_t c2 = (uint16_t)h2->codes[i2];
-                /* binary search c2 in uniq_lo[rlo..rhi) */
-                int64_t lo = rlo, hi = rhi;
-                while (lo < hi) {
-                    int64_t mid = (lo + hi) >> 1;
-                    if (sh->uniq_lo[mid] < c2) lo = mid + 1;
-                    else hi = mid;
+            /* two ways to intersect {allowed c2} x {index codes under
+             * c1}; both emit in half2 ENUMERATION order (the stream
+             * order the dup filter depends on) */
+            int64_t nsub = rhi - rlo;
+            pf_loc_t *loc = w->loc;
+            int64_t n_loc = 0;
+            if (nsub < n2) {
+                /* scan the (small) bucket, keep entries whose c2 rank
+                 * clears the cut, restore enumeration order by rank */
+                for (int64_t j = rlo; j < rhi; j++) {
+                    int32_t rk = h2->rank[sh->uniq_lo[j]];
+                    if (rk < n2) {
+                        loc[n_loc].rank = rk;
+                        loc[n_loc].idx = j;
+                        n_loc++;
+                    }
                 }
-                if (lo >= rhi || sh->uniq_lo[lo] != c2)
-                    continue;
-                int64_t plo = sh->uniq_start[lo];
-                int64_t phi = sh->uniq_start[lo + 1];
+                /* insertion sort by rank (n_loc is small) */
+                for (int64_t a = 1; a < n_loc; a++) {
+                    pf_loc_t key = loc[a];
+                    int64_t b = a - 1;
+                    while (b >= 0 && loc[b].rank > key.rank) {
+                        loc[b + 1] = loc[b];
+                        b--;
+                    }
+                    loc[b + 1] = key;
+                }
+            } else {
+                for (int32_t i2 = 0; i2 < n2; i2++) {
+                    uint16_t c2 = (uint16_t)h2->codes[i2];
+                    /* binary search c2 in uniq_lo[rlo..rhi) */
+                    int64_t lo = rlo, hi = rhi;
+                    while (lo < hi) {
+                        int64_t mid = (lo + hi) >> 1;
+                        if (sh->uniq_lo[mid] < c2) lo = mid + 1;
+                        else hi = mid;
+                    }
+                    if (lo >= rhi || sh->uniq_lo[lo] != c2)
+                        continue;
+                    loc[n_loc].rank = i2;
+                    loc[n_loc].idx = lo;
+                    n_loc++;
+                }
+            }
+            for (int64_t li = 0; li < n_loc; li++) {
+                int64_t plo = sh->uniq_start[loc[li].idx];
+                int64_t phi = sh->uniq_start[loc[li].idx + 1];
                 if (ns + (phi - plo) > w->st_t.cap) {
                     st_t = (int32_t *)buf_ensure(&w->st_t, ns + (phi - plo),
                                                  sizeof(int32_t));
@@ -361,6 +404,7 @@ static void *pf_worker_main(void *arg) {
     pf_shared_t *sh = w->sh;
     buf_ensure(&w->st_t, 1 << 16, sizeof(int32_t));
     buf_ensure(&w->st_d, 1 << 16, sizeof(uint16_t));
+    w->loc = (pf_loc_t *)malloc(sizeof(pf_loc_t) * N_HALF);
     for (;;) {
         int64_t q0 = __atomic_fetch_add(sh->next_q, PF_CHUNK,
                                         __ATOMIC_RELAXED);
@@ -496,6 +540,7 @@ int64_t prefilter_batch(
         free(workers[w].aacorr.p);
         free(workers[w].st_t.p); free(workers[w].st_d.p);
         free(workers[w].fin.p);
+        free(workers[w].loc);
     }
     free(q_cnt); free(q_woff); free(q_wid);
     return error ? -1 : total;
