@@ -452,10 +452,22 @@ def cmd_multihitsearch(argv):
                    type=_ranged(int, 1, None, "--max-seqs"), default=1500)
     p.add_argument("--threads", type=int, default=0)
     p.add_argument("--simple-best-hit", type=int, default=1, choices=(0, 1))
+    # the generic MMseqs surface defaults to BLOSUM62 with 11/1 gaps
+    # (lib/mmseqs/src/commons/Parameters.cpp scoringMatrixFile /
+    # gapOpen defaults, used unchanged by MultiHitSearch.cpp);
+    # SpacePHARER's own commands keep the VTML family
+    p.add_argument("--sub-mat", type=str, default="blosum62.out")
+    p.add_argument("--gap-open", type=int, default=11)
+    p.add_argument("--gap-extend", type=int, default=1)
     args = p.parse_args(argv)
     from .io.entries_tsv import write_entries
+    from .ops.evalue import gumbel_params
     from .pipeline.predictmatch import PredictParams, search_setdbs
     from .stats.aggregation import best_hit_per_set, merge_results_by_set
+    try:
+        gumbel_params(args.sub_mat, args.gap_open, args.gap_extend)
+    except ValueError as e:
+        p.error(f"Invalid argument: {e}")
     qdb = SetDB.load(args.querySetDB)
     tdb = SetDB.load(args.targetSetDB)
     os.makedirs(args.tmpDir, exist_ok=True)
@@ -464,6 +476,10 @@ def cmd_multihitsearch(argv):
     pp.prefilter.start_sens = args.start_sens
     pp.prefilter.sens_steps = args.sens_steps
     pp.prefilter.max_seqs = args.max_seqs
+    pp.prefilter.ungapped_matrix = args.sub_mat
+    pp.align.matrix = args.sub_mat
+    pp.align.gap_open = args.gap_open
+    pp.align.gap_extend = args.gap_extend
     pp.align.evalue = args.evalue
     result = search_setdbs(qdb, tdb, pp)
     aggregate = {k: best_hit_per_set(rows, tdb.orf_to_set, tdb.set_size,

@@ -386,6 +386,14 @@ def cmd_searchnucl(argv):
     p.add_argument("--strand", type=int, default=2, choices=(0, 1, 2),
                    help="0: minus, 1: plus, 2: both")
     args = p.parse_args(argv)
+    from .ops.evalue import gumbel_params
+    try:
+        gumbel_params("nucleotide.out", args.gap_open, args.gap_extend)
+    except ValueError:
+        p.error(f"Invalid argument: no embedded Gumbel parameters for "
+                f"nucleotide gap costs {args.gap_open}/{args.gap_extend} "
+                "(embedded: 5/2, 10/2, 16/2); extract them via ALP and "
+                "add to spacepharer_tpu.ops.evalue._PARAMS")
     from .io.fasta import iter_fasta
     from .pipeline.searchnucl import search_nucl
     q_entries = [(e.name, e.seq) for e in iter_fasta(args.queryFasta)]

@@ -95,13 +95,16 @@ class Progress:
         if not self._enabled:
             return
         dt = time.perf_counter() - self._t0
+        label = self.label
         if self._tty:
             sys.stderr.write("\r\033[K")
         elif self._opened:
+            # the open bar line already carries the label
             sys.stderr.write("] ")
+            label = ""
         elif self.n == 0:
             return
-        sys.stderr.write(f"{self.label}{self.n} items  ({dt:.2f}s)\n")
+        sys.stderr.write(f"{label}{self.n} items  ({dt:.2f}s)\n")
         sys.stderr.flush()
 
     def __enter__(self):

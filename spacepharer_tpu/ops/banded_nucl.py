@@ -363,16 +363,15 @@ def _compute_cov(start, end, length):
 
 def banded_nucleotide_align(query: np.ndarray, target: np.ndarray,
                             diagonal: int, mat: np.ndarray,
-                            gapo: int, gape: int, zdrop: int,
-                            evaluer=None,
-                            query_is_revcomp: bool = False,
-                            comp_of=None) -> Optional[BandedAlnResult]:
+                            gapo: int, gape: int,
+                            zdrop: int,
+                            evaluer=None) -> Optional[BandedAlnResult]:
     """BandedNucleotideAligner::align (BandedNucleotideAligner.cpp:
     73-255). query/target numeric (alphabet m=5, wildcard 4 = N);
     `diagonal` is the prefilter's u16 diagonal. The reverse flag of the
-    reference is handled by the CALLER passing the rev-comp query and
-    setting query_is_revcomp (affects only identity counting against
-    the forward target, which uses the same numeric codes)."""
+    reference is handled by the CALLER passing the rev-comp query —
+    identity counting works on the numeric codes directly, so no
+    orientation flag is needed here."""
     qlen, tlen = len(query), len(target)
     st, en, score, diag, dist = compute_ungapped_alignment(
         query, target, diagonal, mat)

@@ -56,6 +56,42 @@ class PredictParams:
 _worker_fn = None
 
 
+def dense_prefilter_viable(nk_total: int, t_res: int, has_idx: bool) -> bool:
+    """Shape gate of the dense MXU prefilter (no accelerator probe).
+
+    The dense engine is O(query k-mers x target residues) on the MXU
+    (~256 bf16 flops per cell pair) while the host postings walk is
+    output-sensitive — so the device pays off ONLY for small query
+    sides against big fresh targets (it then replaces the whole
+    postings build). A catalog-scale query side (10^5+ k-mers) makes
+    the dense product astronomically larger than the host walk; cap by
+    estimated device seconds (~2e14 bf16 flops/s sustained) AND by the
+    k-mer row count (the Mosaic counts-kernel grid scales with it —
+    past ~32k rows a single compile once stalled the relay ~30 min)."""
+    dense_cells = nk_total * t_res
+    dense_seconds = dense_cells * 256 / 2e14
+    return (dense_cells > (1e12 if has_idx else 1e10)
+            and dense_seconds < 15.0
+            and nk_total <= (1 << 15))
+
+
+def device_scoring_engages(use_tpu, mesh, cells,
+                           accel_present=None) -> bool:
+    """Scoring-engine choice for a known candidate-cell count. The
+    accelerator probe initializes the PJRT client (~10 s on relay
+    hosts), so it runs only AFTER the cell threshold passes —
+    catalog-scale searches (sparse candidates) never pay it."""
+    if use_tpu is False:
+        return False
+    if use_tpu or mesh is not None:
+        return True
+    if cells <= _DEVICE_CELLS_THRESHOLD:
+        return False
+    if accel_present is None:
+        accel_present = _accelerator_present
+    return bool(accel_present())
+
+
 def _run_chunk(chunk):
     return [_worker_fn(qkey) for qkey in chunk]
 
@@ -153,29 +189,10 @@ def search_setdbs(query_db: SetDB, target_db: SetDB,
             from ..ops.prefilter import persisted_index_exists
             has_idx = bool(target_db.path) and persisted_index_exists(
                 target_db.path, params.prefilter)
-            # The dense engine is O(query k-mers x target residues) on
-            # the MXU (~256 bf16 flops per cell pair) while the host
-            # postings walk is output-sensitive — so the device pays
-            # off ONLY for small query sides against big fresh targets
-            # (it then replaces the whole postings build). A catalog-
-            # scale query side (10^5+ k-mers) makes the dense product
-            # astronomically larger than the host walk; cap it by
-            # estimated device seconds. ~2e14 bf16 flops/s sustained
-            # => cells/s ~ 8e11.
-            dense_cells = nk_total * t_res
-            dense_seconds = dense_cells * 256 / 2e14
-            # nk cap: the counts-kernel grid scales with the k-mer row
-            # count; past ~32k rows both the Mosaic compile and the
-            # MXU product outgrow the host walk (which is
-            # output-sensitive in nk)
-            use_dev_pf = (dense_cells > (1e12 if has_idx else 1e10)
-                          and dense_seconds < 15.0
-                          and nk_total <= (1 << 15))
-            # _accelerator_present() initializes the PJRT client
-            # (~10 s on relay hosts) — ask only when the cheap shape
-            # gates have already passed, so catalog-scale searches
-            # never pay it (round-3 weak #2/#6 territory)
-            use_dev_pf = use_dev_pf and _accelerator_present()
+            # shape gates first; the PJRT-initializing accelerator
+            # probe only runs when they pass (dense_prefilter_viable)
+            use_dev_pf = (dense_prefilter_viable(nk_total, t_res, has_idx)
+                          and _accelerator_present())
 
     index = None
     save_thread = None
@@ -322,16 +339,7 @@ def search_setdbs(query_db: SetDB, target_db: SetDB,
     use_tpu = params.use_tpu
 
     def _device_engage(cells):
-        """Scoring-engine choice for a known candidate-cell count. The
-        accelerator probe initializes the PJRT client (~10 s on relay
-        hosts), so it runs only AFTER the cell threshold passes —
-        catalog-scale searches (sparse candidates) never pay it."""
-        if use_tpu is False:
-            return False
-        if use_tpu or params.mesh is not None:
-            return True
-        return (cells > _DEVICE_CELLS_THRESHOLD
-                and _accelerator_present())
+        return device_scoring_engages(use_tpu, params.mesh, cells)
 
     if use_batch:
         two_phase = True       # batch route is always prefilter-first
@@ -815,4 +823,5 @@ def predict_match(query_db: SetDB, target_db: SetDB, control_db: SetDB,
                          + "\t".join(per_target[tset]))
         result.lca_per_target_tsv = "\n".join(lines) + ("\n" if lines else "")
 
+    cache.flush()   # join background artifact writers (resume-durable)
     return result

@@ -54,6 +54,7 @@ class WorkflowCache:
             h = os.readlink(os.path.join(tmp_dir, "latest"))
         else:
             h = _hash_inputs(command, params_repr, inputs)
+        self._writers = []
         self.dir = os.path.join(tmp_dir, h)
         os.makedirs(self.dir, exist_ok=True)
         latest = os.path.join(tmp_dir, "latest")
@@ -80,12 +81,28 @@ class WorkflowCache:
             pickle.dump(obj, fh, protocol=pickle.HIGHEST_PROTOCOL)
         os.replace(tmp, self.path(name))  # atomic: resume-safe artifacts
 
+    def save_async(self, name: str, obj):
+        """Queue the artifact write on a background thread: the
+        tmp-file + atomic-rename protocol keeps resume safe (a killed
+        run either has the complete artifact or none), so the pipeline
+        need not wait for serialization of large stage results."""
+        import threading
+        t = threading.Thread(target=self.save, args=(name, obj),
+                             daemon=False)
+        t.start()
+        self._writers.append(t)
+
+    def flush(self):
+        for t in self._writers:
+            t.join()
+        self._writers.clear()
+
     def get_or_compute(self, name: str, fn):
         if self.has(name):
             info(f"[resume] {name}: reusing cached artifact")
             return self.load(name)
         result = fn()
-        self.save(name, result)
+        self.save_async(name, result)
         return result
 
 
@@ -94,3 +111,6 @@ class NullCache:
 
     def get_or_compute(self, name, fn):
         return fn()
+
+    def flush(self):
+        pass
