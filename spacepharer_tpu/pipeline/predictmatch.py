@@ -671,6 +671,51 @@ def _search_tpu(keys, t_aa, cand, q_all, m40, evaluer, params):
                       label="align ")
 
 
+def _jax_client_initialized() -> bool:
+    import sys as _sys
+    xb = _sys.modules.get("jax._src.xla_bridge")
+    return bool(xb is not None and getattr(xb, "_backends", None))
+
+
+def _fork_reverse_search(cache, query_db, control_db, params):
+    """Fork a child computing the reverse-control search + aggregation
+    into the cache; returns the child pid or None (sequential).
+
+    Skipped when: the cache is in-memory (nothing to hand over), the
+    artifacts already exist (resume), an explicit device request is on
+    (two processes sharing one PJRT client is undefined), or a jax
+    client is already initialized in this process (fork-after-PJRT is
+    unsafe). The child forces host engines for the same reason —
+    engine choice never changes output bytes."""
+    if not hasattr(cache, "has") or os.name != "posix":
+        return None
+    if cache.has("result_rev") and cache.has("aggregate_rev"):
+        return None
+    if params.use_tpu or params.mesh is not None or params.trace_dir:
+        return None
+    if _jax_client_initialized():
+        return None
+    cache.flush()     # no writer threads may cross the fork
+    pid = os.fork()
+    if pid != 0:
+        return pid
+    status = 1
+    try:
+        from dataclasses import replace
+        from ..logging import set_verbosity
+        set_verbosity(0)          # the parent owns the terminal
+        p_host = replace(params, use_tpu=False, mesh=None, trace_dir=None)
+        rev = search_setdbs(query_db, control_db, p_host)
+        cache.save("result_rev", rev)
+        cache.save("aggregate_rev",
+                   _aggregate_chain(rev, query_db, control_db))
+        status = 0
+    except BaseException:       # noqa: BLE001 - parent recomputes
+        pass
+    finally:
+        os._exit(status)
+
+
 def _aggregate_chain(result: dict, query_db: SetDB, target_db: SetDB):
     """besthitperset -> mergeresultsbyset -> combinescore."""
     t_m2s = target_db.orf_to_set
@@ -725,6 +770,15 @@ def predict_match(query_db: SetDB, target_db: SetDB, control_db: SetDB,
     # searches is its own cached artifact, mirroring the reference's
     # per-step notExists guards (data/predictmatch.sh:29-230) — killing
     # a run and restarting recomputes only the first missing stage.
+    # The forward and reverse-control searches are independent until
+    # the FDR calibration, so the control side runs CONCURRENTLY in a
+    # forked child writing its cache artifacts (the reference gets its
+    # 2-core utilization from OpenMP inside each stage; here the
+    # single-threaded Python stages of the two searches overlap each
+    # other instead). Resume-safe: the child writes via the atomic
+    # tmp+rename protocol; if it dies, the parent recomputes in-process.
+    rev_pid = _fork_reverse_search(cache, query_db, control_db, params)
+
     with profiler_cm, stage_timer("search"):
         search_result = cache.get_or_compute(
             "result", lambda: search_setdbs(query_db, target_db, params))
@@ -732,12 +786,29 @@ def predict_match(query_db: SetDB, target_db: SetDB, control_db: SetDB,
         "aggregate", lambda: _aggregate_chain(search_result, query_db,
                                               target_db))
 
+    if rev_pid is not None:
+        try:
+            os.waitpid(rev_pid, 0)
+        except ChildProcessError:
+            pass
+
+    # result_rev is only needed by the aggregation (and the optional
+    # stage dumps) — when the child already wrote aggregate_rev, the
+    # big reverse row table is never deserialized at all
+    _rev_memo = []
+
+    def _get_result_rev():
+        if not _rev_memo:
+            _rev_memo.append(cache.get_or_compute(
+                "result_rev",
+                lambda: search_setdbs(query_db, control_db, params)))
+        return _rev_memo[0]
+
     with stage_timer("search_rev"):
-        result_rev = cache.get_or_compute(
-            "result_rev", lambda: search_setdbs(query_db, control_db, params))
-    cscore_rev = cache.get_or_compute(
-        "aggregate_rev",
-        lambda: _aggregate_chain(result_rev, query_db, control_db))[2]
+        cscore_rev = cache.get_or_compute(
+            "aggregate_rev",
+            lambda: _aggregate_chain(_get_result_rev(), query_db,
+                                     control_db))[2]
 
     match, messages = cache.get_or_compute(
         "match", lambda: filter_match_by_fdr(cscore, cscore_rev, params.fdr,
@@ -773,7 +844,7 @@ def predict_match(query_db: SetDB, target_db: SetDB, control_db: SetDB,
         from ..io.entries_tsv import write_entries
         os.makedirs(dump_stages, exist_ok=True)
         stage_tables = {
-            "result": search_result, "result_rev": result_rev,
+            "result": search_result, "result_rev": _get_result_rev(),
             "aggregate": aggregate, "merged": merged, "cscore": cscore,
             "cscore_rev": cscore_rev, "match": match, "truncated": truncated,
             "aln": aln_merged,
