@@ -80,17 +80,22 @@ BIGNEG = -(1 << 20)  # pad-row constants (int32 arithmetic only)
 
 def _kernel(bounds_ref, prof_ref, c1_ref, c2_ref, first_ref, qoff_ref,
             last_ref, t_ref, keep_ref, out_ref, *, sq, nq, t_tile, a_pad,
-            max_span, seg_len, n_segs, gap_open, gap_extend):
+            max_span, seg_len, n_segs, gap_open, gap_extend,
+            state16=False):
     nseg_bound = bounds_ref[pl.program_id(1), 0]
     prof = prof_ref[:]                       # [SQ, A] bf16
     c1 = c1_ref[:]                           # [SQ, 1] int32
     c2 = c2_ref[:]                           # [SQ, 1] int32
     first = first_ref[:] != 0                # [SQ, 1] bool
     qoff = qoff_ref[:]                       # [SQ, 1] int32
-    go = jnp.int32(gap_open)
-    ge = jnp.int32(gap_extend)
+    # int16 DP-state experiment (round-3 lever #1): scores are bounded
+    # by BIG=4096 so H/E/best fit int16, halving the persistent-state
+    # VMEM traffic; the BIG*qid-offset cummax pipeline stays int32.
+    sdt = jnp.int16 if state16 else jnp.int32
+    go = sdt(gap_open)
+    ge = sdt(gap_extend)
     iota_a = jax.lax.broadcasted_iota(jnp.int32, (a_pad, t_tile), 0)
-    zrow = jnp.zeros((1, t_tile), jnp.int32)
+    zrow = jnp.zeros((1, t_tile), sdt)
 
     # constants of the per-segment harvest
     last = last_ref[:]                       # [NQ, 1] int32, -1 = pad slot
@@ -100,17 +105,17 @@ def _kernel(bounds_ref, prof_ref, c1_ref, c2_ref, first_ref, qoff_ref,
     out_ref[:] = jnp.zeros((n_segs * nq, t_tile), jnp.int32)
 
     def col_step(i, carry):
-        H, E, best = carry                   # [SQ, TT] int32 each
+        H, E, best = carry                   # [SQ, TT] state dtype each
         col = t_ref[pl.ds(i, 1), :]          # [1, TT] int32
         onehot = (iota_a == col).astype(jnp.bfloat16)
         sub = jax.lax.dot_general(
             prof, onehot, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(jnp.int32)
+            preferred_element_type=jnp.float32).astype(sdt)
         h_diag = jnp.where(
-            first, 0, jnp.concatenate([zrow, H[:-1, :]], axis=0))
+            first, sdt(0), jnp.concatenate([zrow, H[:-1, :]], axis=0))
         h_pre = jnp.maximum(h_diag + sub, E)     # E >= 0 supplies the 0 floor
-        E2 = jnp.maximum(jnp.maximum(h_pre - go, E - ge), 0)
-        g = h_pre + c1                           # c1 = ge*(j+1) - go + BIG*qid
+        E2 = jnp.maximum(jnp.maximum(h_pre - go, E - ge), sdt(0))
+        g = h_pre.astype(jnp.int32) + c1         # c1 = ge*(j+1)-go+BIG*qid
         shift = 1
         while shift < max_span:                  # segmented cummax
             g = jnp.maximum(
@@ -120,6 +125,10 @@ def _kernel(bounds_ref, prof_ref, c1_ref, c2_ref, first_ref, qoff_ref,
             shift *= 2
         F = jnp.concatenate([jnp.full((1, t_tile), BIGNEG, jnp.int32),
                              g[:-1, :]], axis=0) - c2   # c2 = ge*j + BIG*qid
+        if state16:
+            # h_pre >= 0, so clamping F at 0 changes nothing and makes
+            # the int16 narrowing exact (F < BIG; BIGNEG would wrap)
+            F = jnp.maximum(F, 0).astype(sdt)
         h = jnp.maximum(h_pre, F)
         best = jnp.maximum(best, h)
         return h, E2, best
@@ -127,13 +136,15 @@ def _kernel(bounds_ref, prof_ref, c1_ref, c2_ref, first_ref, qoff_ref,
     def seg_step(s, carry):
         H, E, best = carry
         k = keep_ref[pl.ds(s, 1), :]             # [1, TT] 0 = new target
+        if state16:
+            k = k.astype(sdt)
         H, E, best = H * k, E * k, best * k
         H, E, best = jax.lax.fori_loop(
             0, seg_len, lambda i, c: col_step(s * seg_len + i, c),
             (H, E, best))
         # harvest: per-query reduction of the running best (the host
         # reads each target's score at its LAST segment slot)
-        g = best + qoff
+        g = best.astype(jnp.int32) + qoff
         shift = 1
         while shift < max_span:
             g = jnp.maximum(
@@ -156,18 +167,18 @@ def _kernel(bounds_ref, prof_ref, c1_ref, c2_ref, first_ref, qoff_ref,
         out_ref[pl.ds(s * nq, nq), :] = picked
         return H, E, best
 
-    z = jnp.zeros((sq, t_tile), jnp.int32)
+    z = jnp.zeros((sq, t_tile), sdt)
     jax.lax.fori_loop(0, nseg_bound, seg_step, (z, z, z))
 
 
 @partial(jax.jit, static_argnames=("gap_open", "gap_extend", "max_span",
                                    "sq_block", "nq_block", "seg_len",
-                                   "interpret"))
+                                   "interpret", "state16"))
 def sw_allpairs_packed(prof, c1, c2, first, qoff, last, t_seqs, keep,
                        bounds, gap_open: int = 16, gap_extend: int = 2,
                        max_span: int = 32, sq_block: int = 2048,
                        nq_block: int = 256, seg_len: int = 32,
-                       interpret: bool = False):
+                       interpret: bool = False, state16: bool = False):
     """Per-query best scores for packed queries vs segment-packed targets.
 
     prof:   bf16 [n_qb*SQ, A_pad]  packed per-residue profiles
@@ -192,7 +203,8 @@ def sw_allpairs_packed(prof, c1, c2, first, qoff, last, t_seqs, keep,
     return pl.pallas_call(
         partial(_kernel, sq=sq_block, nq=nq_block, t_tile=t_tile,
                 a_pad=a_pad, max_span=max_span, seg_len=seg_len,
-                n_segs=n_segs, gap_open=gap_open, gap_extend=gap_extend),
+                n_segs=n_segs, gap_open=gap_open, gap_extend=gap_extend,
+                state16=state16),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -335,8 +347,13 @@ def pack_query_rows(q_list, matrix_scores, bias_list=None,
     }
 
 
-def pack_targets_segmented(t_list, seg_len: int = 32, t_tile: int = 128,
+def pack_targets_segmented(t_list, seg_len: int = 16, t_tile: int = 128,
                            a_pad: int = 32, depth_cap: int = 4096):
+    # seg_len=16 measured best on production-regime workloads: the
+    # kernel's PADDED throughput is seg_len-invariant (~76-81 G
+    # cells/s; tools/bench_packed.py sweep, round 4), so the shorter
+    # segment wins on pack efficiency (70% -> 76% true cells);
+    # seg_len=8 doubles n_segs and overflows the 128 MB VMEM budget.
     """Pack targets densely into lanes as runs of SEG-residue segments.
 
     Longest-first greedy onto the least-loaded lane. The lane count is

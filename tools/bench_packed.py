@@ -45,6 +45,10 @@ def main():
     kdev = jax.device_put(jnp.asarray(tpack["keep"]))
     bdev = jax.device_put(jnp.asarray(tpack["bounds"]))
     max_span = pack["max_span"]
+    # timing experiments only: forcing a smaller span yields WRONG
+    # scores for longer queries but measures the cummax op share
+    if os.environ.get("SPAN_OVERRIDE"):
+        max_span = int(os.environ["SPAN_OVERRIDE"])
     nq_block = pack["nq_block"]
     sq_block = pack["sq_block"]
 
@@ -55,7 +59,9 @@ def main():
             best = sw_allpairs_packed(prof, c1v, c2, first, qoff, last,
                                       t_seqs, keep, bounds, 16, 2,
                                       max_span, sq_block, nq_block,
-                                      seg_len)
+                                      seg_len,
+                                      state16=bool(os.environ.get(
+                                          "STATE16")))
             acc = acc + best.sum()
             return acc, c1 + (acc & 1)
         acc, _ = jax.lax.fori_loop(0, n, body,
