@@ -12,11 +12,69 @@ Format (lib/mmseqs/src/commons/DBReader.h / DBWriter.h):
   <name>.dbtype   4-byte little-endian type id
   <name>.lookup   key \\t accession \\t fileNumber
   <name>.source   fileNumber \\t fileName
+
+Compressed databases (dbtype bit 31, DBWriter --compressed) store each
+entry as [u32 cSize][cSize bytes][flag]: the bytes are a zstd stream
+when the byte AT dataStart[cSize] is 0, else a raw copy
+(DBReader::getDataCompressed, lib/mmseqs/src/commons/DBReader.cpp:
+512-539). Decompression rides the system libzstd via ctypes.
 """
+import ctypes
 import os
 from functools import cached_property
 
 import numpy as np
+
+_ZSTD = None
+
+
+def _zstd():
+    """System libzstd handle (simple one-shot API), or None."""
+    global _ZSTD
+    if _ZSTD is None:
+        try:
+            lib = ctypes.CDLL("libzstd.so.1")
+        except OSError:
+            _ZSTD = False
+            return None
+        lib.ZSTD_getFrameContentSize.restype = ctypes.c_uint64
+        lib.ZSTD_getFrameContentSize.argtypes = [ctypes.c_void_p,
+                                                 ctypes.c_size_t]
+        lib.ZSTD_findFrameCompressedSize.restype = ctypes.c_size_t
+        lib.ZSTD_findFrameCompressedSize.argtypes = [ctypes.c_void_p,
+                                                     ctypes.c_size_t]
+        lib.ZSTD_decompress.restype = ctypes.c_size_t
+        lib.ZSTD_decompress.argtypes = [ctypes.c_void_p, ctypes.c_size_t,
+                                        ctypes.c_void_p, ctypes.c_size_t]
+        lib.ZSTD_isError.restype = ctypes.c_uint
+        lib.ZSTD_isError.argtypes = [ctypes.c_size_t]
+        _ZSTD = lib
+    return _ZSTD or None
+
+
+def _zstd_decompress_frames(blob: bytes) -> bytes:
+    """Decompress a concatenation of zstd frames (the reference writes
+    one entry as a stream of independent blocks/frames)."""
+    lib = _zstd()
+    if lib is None:
+        raise RuntimeError("compressed MMseqs DB but no system libzstd")
+    out = []
+    view = memoryview(blob)
+    while len(view):
+        src = bytes(view)
+        fsize = lib.ZSTD_findFrameCompressedSize(src, len(src))
+        if lib.ZSTD_isError(fsize):
+            raise ValueError("corrupt zstd frame in compressed DB entry")
+        csize = lib.ZSTD_getFrameContentSize(src, fsize)
+        if csize in (2 ** 64 - 1, 2 ** 64 - 2):  # unknown/error
+            csize = max(len(src) * 32, 1 << 16)
+        dst = ctypes.create_string_buffer(int(csize))
+        n = lib.ZSTD_decompress(dst, int(csize), src, fsize)
+        if lib.ZSTD_isError(n):
+            raise ValueError("zstd decompression failed")
+        out.append(dst.raw[:n])
+        view = view[fsize:]
+    return b"".join(out)
 
 DBTYPE_AA = 0
 DBTYPE_NUCL = 1
@@ -58,12 +116,22 @@ class MMseqsDB:
         self.lengths = np.array(lens, dtype=np.int64)
 
     @cached_property
-    def dbtype(self) -> int:
+    def _dbtype_raw(self) -> int:
         try:
             with open(self.path + ".dbtype", "rb") as fh:
-                return int.from_bytes(fh.read(4), "little") & 0xFF
+                return int.from_bytes(fh.read(4), "little")
         except FileNotFoundError:
             return -1
+
+    @cached_property
+    def dbtype(self) -> int:
+        raw = self._dbtype_raw
+        return raw if raw < 0 else raw & 0xFF
+
+    @cached_property
+    def compressed(self) -> bool:
+        """DBReader::isCompressed: dbtype bit 31 (DBReader.cpp:994)."""
+        return self._dbtype_raw > 0 and bool(self._dbtype_raw & (1 << 31))
 
     def __len__(self):
         return len(self.keys)
@@ -77,6 +145,14 @@ class MMseqsDB:
 
     def get_by_rank(self, i: int) -> bytes:
         o, l = int(self.offsets[i]), int(self.lengths[i])
+        if self.compressed:
+            # [u32 cSize][payload][flag]: flag byte 0 = zstd stream,
+            # else raw copy (getDataCompressed, DBReader.cpp:512-539)
+            c_size = int.from_bytes(self.data[o:o + 4], "little")
+            payload = self.data[o + 4:o + 4 + c_size]
+            if self.data[o + 4 + c_size] == 0:
+                return _zstd_decompress_frames(payload)
+            return payload
         return self.data[o:o + l - 1]
 
     def text(self, key: int) -> str:

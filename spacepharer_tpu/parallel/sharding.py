@@ -103,20 +103,25 @@ def sw_score_allpairs(q_prof, q_len, t_seqs, t_len,
     return best
 
 
-def sharded_search_pipeline(mesh: Mesh, top_k: int, n_sets: int):
+def sharded_search_pipeline(mesh: Mesh, top_k: int, n_sets: int,
+                            n_qsets: int = 0):
     """Jitted full sharded search step: per-shard all-pairs SW, global
     top-k merge over the ``t`` axis (the reference's per-split result
     merge, Prefiltering.h:49 mergeTargetSplits, as an on-device
-    collective), and best-hit-per-target-set aggregation (multihit/
-    besthitperset.cpp as segment_max + pmax).
+    collective), best-hit-per-target-set aggregation (multihit/
+    besthitperset.cpp as segment_max + pmax), and — when ``n_qsets`` is
+    given — the combinescore-shaped query-set aggregation
+    (CombineScore.cpp:41-98's exceedance sum re-expressed as a
+    segment_sum over the sharded ``q`` axis + psum collective; query
+    sets may span q shards, so this exercises cross-shard aggregation).
 
-    step(q_prof, q_len, t_seqs, t_len, set_of_t) ->
+    step(q_prof, q_len, t_seqs, t_len, set_of_t[, set_of_q]) ->
       (top_scores [Q, k], top_idx [Q, k] global target ids,
-       best_per_set [Q, n_sets]).
+       best_per_set [Q, n_sets][, combined [n_qsets, n_sets]]).
     """
     from jax.experimental.shard_map import shard_map
 
-    def local_step(q_prof, q_len, t_seqs, t_len, set_of_t):
+    def _core(q_prof, q_len, t_seqs, t_len, set_of_t):
         scores = sw_score_allpairs(q_prof, q_len, t_seqs, t_len, 16, 2)
         t_local = t_seqs.shape[0]
         sc, idx = jax.lax.top_k(scores, top_k)
@@ -132,12 +137,38 @@ def sharded_search_pipeline(mesh: Mesh, top_k: int, n_sets: int):
         best_set = jax.lax.pmax(best_set, "t")
         return sc2, idx2, best_set
 
-    f = shard_map(
-        local_step, mesh=mesh,
-        in_specs=(P("q", None, None), P("q"), P("t", None), P("t"),
-                  P("t")),
-        out_specs=(P("q", None), P("q", None), P("q", None)),
-        check_rep=False)
+    def local_step(q_prof, q_len, t_seqs, t_len, set_of_t):
+        return _core(q_prof, q_len, t_seqs, t_len, set_of_t)
+
+    def local_step_agg(q_prof, q_len, t_seqs, t_len, set_of_t, set_of_q):
+        sc2, idx2, best_set = _core(q_prof, q_len, t_seqs, t_len,
+                                    set_of_t)
+        # combinescore analog: per (query set, target set), the sum of
+        # member best-hit exceedances above the threshold (0 here —
+        # best_set is already floored). Members of one query set may
+        # live on different q shards: segment_sum locally, psum across
+        # the mesh's q axis.
+        comb = jax.ops.segment_sum(best_set, set_of_q,
+                                   num_segments=n_qsets,
+                                   indices_are_sorted=False)
+        comb = jax.lax.psum(comb, "q")
+        return sc2, idx2, best_set, comb
+
+    if n_qsets:
+        f = shard_map(
+            local_step_agg, mesh=mesh,
+            in_specs=(P("q", None, None), P("q"), P("t", None), P("t"),
+                      P("t"), P("q")),
+            out_specs=(P("q", None), P("q", None), P("q", None),
+                       P(None, None)),
+            check_rep=False)
+    else:
+        f = shard_map(
+            local_step, mesh=mesh,
+            in_specs=(P("q", None, None), P("q"), P("t", None), P("t"),
+                      P("t")),
+            out_specs=(P("q", None), P("q", None), P("q", None)),
+            check_rep=False)
     return jax.jit(f)
 
 
