@@ -701,6 +701,16 @@ def _fork_reverse_search(cache, query_db, control_db, params):
         return pid
     status = 1
     try:
+        # die with the parent: an orphaned control search must not keep
+        # writing artifacts after a kill (it would race the resumed run)
+        try:
+            import ctypes
+            import signal
+            ctypes.CDLL(None).prctl(1, signal.SIGKILL)  # PR_SET_PDEATHSIG
+            if os.getppid() == 1:
+                os._exit(1)       # parent already gone
+        except Exception:  # noqa: BLE001 - best-effort on non-Linux
+            pass
         from dataclasses import replace
         from ..logging import set_verbosity
         set_verbosity(0)          # the parent owns the terminal

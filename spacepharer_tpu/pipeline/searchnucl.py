@@ -137,60 +137,114 @@ class NuclHit:
                 f"{self.t_end}\t{ev}\t{int(round(self.bits))}")
 
 
+MAX_SEQ_LEN = 10000      # blastn.sh splitsequence operating point
+
+
+def _split_chunks(length: int, max_len: int = MAX_SEQ_LEN):
+    """splitsequence (mode 1, overlap 0): [(start, len)] chunks."""
+    import math
+    n = max(1, math.ceil(length / max_len))
+    return [(s * max_len, min(max_len, length - s * max_len))
+            for s in range(n)]
+
+
 def search_nucl(q_entries, t_entries, k: int = 15, evalue: float = 1e-3,
                 gap_open: int = 5, gap_extend: int = 2, zdrop: int = 40,
                 max_seqs: int = 300, strand: int = 2,
-                index: Optional[NuclIndex] = None):
+                min_ungapped_score: int = 15, index=None):
     """q_entries/t_entries: [(name, ascii uint8 array)].
     strand: 0 = minus only, 1 = plus only, 2 = both.
-    Returns {query_name: [NuclHit] sorted by (evalue, -bits)}."""
-    mat = load_matrix("nucleotide.out", 1.0).scores
-    t_nums = [encode_nucl(seq) for _, seq in t_entries]
-    if index is None:
-        index = build_nucl_index(t_nums, k)
+    Returns {query_name: [NuclHit] in the reference's merged order}.
+
+    Full blastn.sh pipeline parity (mmseqs `search --search-type 3`):
+    splitsequence on both sides (10 kb hard chunks) -> extractframes on
+    queries (fwd + revcomp) -> nucleotide prefilter (exact spaced
+    15-mers, tantan-masked targets, diagonal rescore,
+    min-ungapped-score gate, max-seqs histogram;
+    ops/nucl_prefilter.py) -> BandedNucleotideAligner gapped alignment
+    (probe-parity engine, ops/banded_nucl.py) -> offsetalignment
+    coordinate mapping + merge-query + Matcher::compareHits sort ->
+    convertalis m8 fields. m8 rows are byte-identical to the reference
+    binary's output on pinned fixtures (tests/test_searchnucl_parity.py)
+    up to createdb's key shuffle on duplicate targets."""
+    from ..ops.align import format_seq_id
+    from ..ops.nucl_prefilter import (SPACED_SEED_15, build_nucl_ref_index,
+                                      mask_nucl_targets,
+                                      nucl_prefilter_query)
+
+    matrix = load_matrix("nucleotide.out", 1.0)
+    mat = matrix.scores
+    if k == 15:
+        pattern = SPACED_SEED_15
+    else:
+        pattern = np.ones(k, dtype=np.int64)
+
+    # --- splitsequence on targets: chunks keep their parent key ---
+    t_chunks = []          # (parent_ti, from0, num)
+    for ti, (_, seq) in enumerate(t_entries):
+        num = encode_nucl(np.asarray(seq, dtype=np.uint8))
+        for start, ln in _split_chunks(len(num)):
+            t_chunks.append((ti, start, num[start:start + ln]))
+    t_masked = mask_nucl_targets([c[2] for c in t_chunks], matrix)
+    idx = build_nucl_ref_index(t_masked, pattern)
+    t_res = int(sum(len(c[2]) for c in t_chunks))
     evaluer = EvalueComputer(
-        gumbel_params("nucleotide.out", gap_open, gap_extend),
-        index.total_res)
+        gumbel_params("nucleotide.out", gap_open, gap_extend), t_res)
+    t_lens = [len(seq) for _, seq in t_entries]
+
     out = {}
+    strands = {0: ("-",), 1: ("+",), 2: ("+", "-")}[strand]
     for qname, q_ascii in q_entries:
-        hits = []
-        strands = {0: ("-",), 1: ("+",), 2: ("+", "-")}[strand]
+        q_ascii = np.asarray(q_ascii, dtype=np.uint8)
+        L = len(q_ascii)
+        rows = []
         for sgn in strands:
-            if sgn == "+":
-                q_num = encode_nucl(q_ascii)
-            else:
-                q_num = encode_nucl(revcomp_ascii(
-                    np.asarray(q_ascii, dtype=np.uint8)))
-            qlen = len(q_num)
-            for ti, diag, _cnt in _candidates(q_num, index, max_seqs):
-                res = banded_nucleotide_align(
-                    q_num, t_nums[ti], diag, mat, gap_open, gap_extend,
-                    zdrop, evaluer=evaluer)
-                if res is None or res.evalue > evalue:
-                    continue
-                alnlen = len(res.backtrace)
-                n_m = res.backtrace.count("M")
-                gapopen = 0
-                prev = "M"
-                for c in res.backtrace:
-                    if c != prev and c in "ID":
-                        gapopen += 1
-                    prev = c
-                if sgn == "+":
-                    qs, qe = res.q_start + 1, res.q_end + 1
-                    ts, te = res.t_start + 1, res.t_end + 1
-                else:
-                    qs = qlen - res.q_end
-                    qe = qlen - res.q_start
-                    ts, te = res.t_end + 1, res.t_start + 1
-                hits.append(NuclHit(
-                    query=qname, target=t_entries[ti][0],
-                    pident=res.aa_ids / max(alnlen, 1), alnlen=alnlen,
-                    mismatch=n_m - res.aa_ids, gapopen=gapopen,
-                    q_start=qs, q_end=qe, t_start=ts, t_end=te,
-                    evalue=res.evalue,
-                    bits=evaluer.bit_score(res.score),
-                    raw_score=res.score))
-        hits.sort(key=lambda h: (h.evalue, -h.bits, h.target))
+            # extractframes: '-' = revcomp with origin at L-1
+            frame = (encode_nucl(q_ascii) if sgn == "+"
+                     else encode_nucl(revcomp_ascii(q_ascii)))
+            for start, ln in _split_chunks(len(frame)):
+                chunk = frame[start:start + ln]
+                # chunk origin on the ORIGINAL strand (splitsequence
+                # header rewrite, splitsequence.cpp:97-116)
+                c_from = start if sgn == "+" else (L - 1) - start
+                for t, _sc, diag in nucl_prefilter_query(
+                        chunk, idx, matrix, pattern, max_seqs,
+                        min_ungapped_score):
+                    r = banded_nucleotide_align(
+                        chunk, t_chunks[t][2], diag & 0xFFFF, mat,
+                        gap_open, gap_extend, zdrop, evaluer=evaluer)
+                    if r is None or r.evalue > evalue:
+                        continue
+                    bit = int(evaluer.bit_score(r.score) + 0.5)
+                    seq_id = (r.aa_ids / len(r.backtrace)
+                              if len(r.backtrace) else 0.0)
+                    # round-trip through the alignment row text, like
+                    # offsetalignment's readAlignmentResults
+                    sid = float(format_seq_id(float(np.float32(seq_id))))
+                    ev = float(f"{r.evalue:.3E}")
+                    # updateOffset (offsetalignment.cpp:90-160)
+                    if sgn == "+":
+                        qs, qe = c_from + r.q_start, c_from + r.q_end
+                    else:
+                        qs, qe = c_from - r.q_start, c_from - r.q_end
+                    t_parent, t_from, _ = t_chunks[t]
+                    ts_, te_ = t_from + r.t_start, t_from + r.t_end
+                    alnlen = max(abs(qe - qs), abs(te_ - ts_)) + 1
+                    bme = np.float32(min(abs(qe - qs), abs(te_ - ts_)))
+                    mism = int(bme * (np.float32(1.0) - np.float32(sid))
+                               + np.float32(0.5))
+                    rows.append((ev, -bit, t_lens[t_parent], t_parent,
+                                 sid, alnlen, mism, qs, qe, ts_, te_,
+                                 bit))
+        # merge-query: stable sort by Matcher::compareHits
+        rows.sort(key=lambda x: x[:4])
+        hits = []
+        for (ev, nbit, tlen, tp, sid, alnlen, mism, qs, qe, ts_, te_,
+             bit) in rows:
+            hits.append(NuclHit(
+                query=qname, target=t_entries[tp][0],
+                pident=sid, alnlen=alnlen, mismatch=mism, gapopen=0,
+                q_start=qs + 1, q_end=qe + 1, t_start=ts_ + 1,
+                t_end=te_ + 1, evalue=ev, bits=bit))
         out[qname] = hits
     return out
