@@ -413,7 +413,22 @@ def cmd_searchnucl(argv):
     return 0
 
 
+def cmd_createbintaxonomy(argv):
+    """createbintaxonomy <taxdumpDir> — persist the parsed NCBI
+    taxdump as a binary cache (lib/mmseqs/src/taxonomy/
+    createbintaxonomy.cpp analog); later taxonomy loads skip the
+    dmp text parse."""
+    p = argparse.ArgumentParser(prog="spacepharer createbintaxonomy")
+    p.add_argument("taxdumpDir")
+    args = p.parse_args(argv)
+    from .tax.ncbi import create_bin_taxonomy
+    path = create_bin_taxonomy(args.taxdumpDir)
+    print(f"createbintaxonomy: wrote {path}")
+    return 0
+
+
 EXPERT_COMMANDS = {
+    "createbintaxonomy": cmd_createbintaxonomy,
     "reverseseqbycodon": cmd_reverseseqbycodon,
     "combinepvalperset": cmd_combinepvalperset,
     "prefilter": cmd_prefilter,

@@ -250,6 +250,50 @@ class NcbiTaxonomy:
         return out
 
 
+def _dmp_fingerprint(taxdump_dir: str):
+    fp = []
+    for name in ("nodes.dmp", "names.dmp", "merged.dmp"):
+        p = os.path.join(taxdump_dir, name)
+        try:
+            st = os.stat(p)
+            fp.append((name, st.st_size, st.st_mtime_ns))
+        except OSError:
+            fp.append((name, -1, -1))
+    return fp
+
+
+def create_bin_taxonomy(taxdump_dir: str) -> str:
+    """Persist the parsed taxdump as a binary cache in the dump dir —
+    the createbintaxonomy analog (lib/mmseqs/src/taxonomy/
+    createbintaxonomy.cpp): later loads skip the dmp text parse.
+    Returns the cache path."""
+    import pickle
+    tax = NcbiTaxonomy(taxdump_dir)
+    path = os.path.join(taxdump_dir, "taxonomy_cache.pkl")
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as fh:
+        pickle.dump({"fingerprint": _dmp_fingerprint(taxdump_dir),
+                     "nodes": tax.nodes, "merged": tax.merged}, fh,
+                    protocol=pickle.HIGHEST_PROTOCOL)
+    os.replace(tmp, path)
+    return path
+
+
 @lru_cache(maxsize=4)
 def load_taxonomy(taxdump_dir: str) -> NcbiTaxonomy:
+    """Load a taxdump, via the binary cache when a fresh one exists
+    (stale caches — any dmp changed — fall back to the text parse)."""
+    import pickle
+    cache = os.path.join(taxdump_dir, "taxonomy_cache.pkl")
+    if os.path.exists(cache):
+        try:
+            with open(cache, "rb") as fh:
+                blob = pickle.load(fh)
+            if blob.get("fingerprint") == _dmp_fingerprint(taxdump_dir):
+                tax = NcbiTaxonomy.__new__(NcbiTaxonomy)
+                tax.nodes = blob["nodes"]
+                tax.merged = blob["merged"]
+                return tax
+        except Exception:  # noqa: BLE001 - corrupt cache -> reparse
+            pass
     return NcbiTaxonomy(taxdump_dir)

@@ -68,3 +68,30 @@ def test_catalog_table_is_reference_complete():
     assert set(CATALOGS) == {
         "GenBank_phage_2018_09", "GenBank_eukvir_2018_09",
         "spacers_shmakov_et_al_2017", "spacers_dion_et_al_2021"}
+
+
+def test_bin_taxonomy_cache(tmp_path):
+    """createbintaxonomy: binary cache loads identically and goes
+    stale when a dmp changes."""
+    import shutil
+    from spacepharer_tpu.tax.ncbi import (NcbiTaxonomy,
+                                          create_bin_taxonomy,
+                                          load_taxonomy)
+    src = "/root/reference/examples/ncbi_taxdump"
+    d = str(tmp_path / "taxdump")
+    shutil.copytree(src, d)
+    plain = NcbiTaxonomy(d)
+    create_bin_taxonomy(d)
+    load_taxonomy.cache_clear()
+    cached = load_taxonomy(d)
+    assert cached.merged == plain.merged
+    assert set(cached.nodes) == set(plain.nodes)
+    probe = next(iter(plain.nodes))
+    assert cached.nodes[probe].name == plain.nodes[probe].name
+    assert cached.nodes[probe].parent == plain.nodes[probe].parent
+    # stale cache (touched dmp) falls back to the text parse
+    os.utime(os.path.join(d, "nodes.dmp"))
+    load_taxonomy.cache_clear()
+    fresh = load_taxonomy(d)
+    assert set(fresh.nodes) == set(plain.nodes)
+    load_taxonomy.cache_clear()
