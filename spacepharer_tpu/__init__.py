@@ -58,6 +58,7 @@ def _default_jax_cache():
     CLI invocation after the first reuse them (verified: recompile of
     a cached kernel drops to ~0.25s)."""
     import os
+    import sys
     if "JAX_COMPILATION_CACHE_DIR" not in os.environ:
         d = os.path.join(os.path.expanduser("~"), ".cache",
                          "spacepharer_tpu", "jax")
@@ -67,6 +68,18 @@ def _default_jax_cache():
         except OSError:
             return
     os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+    # On relay hosts the site hook imports jax BEFORE this package, so
+    # the env vars above are read too late — apply through the live
+    # config as well (cheap; does not initialize a backend)
+    if "jax" in sys.modules:
+        try:
+            import jax
+            jax.config.update("jax_compilation_cache_dir",
+                              os.environ["JAX_COMPILATION_CACHE_DIR"])
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 1)
+        except Exception:  # noqa: BLE001 - cache is best-effort
+            pass
 
 
 _default_jax_cache()

@@ -185,6 +185,11 @@ def search_setdbs(query_db: SetDB, target_db: SetDB,
     if not split_mode:
         if pf_engine == "device":
             use_dev_pf = True
+        elif pf_engine == "auto" and params.use_tpu is False:
+            # --use-tpu 0 disables EVERY device engine, including the
+            # dense prefilter (and keeps forked control searches off
+            # the PJRT relay — two clients contend on one chip)
+            use_dev_pf = False
         elif pf_engine == "auto":
             from ..ops.prefilter import persisted_index_exists
             has_idx = bool(target_db.path) and persisted_index_exists(
@@ -714,7 +719,9 @@ def _fork_reverse_search(cache, query_db, control_db, params):
         from dataclasses import replace
         from ..logging import set_verbosity
         set_verbosity(0)          # the parent owns the terminal
-        p_host = replace(params, use_tpu=False, mesh=None, trace_dir=None)
+        p_host = replace(params, use_tpu=False, mesh=None, trace_dir=None,
+                         prefilter=replace(params.prefilter,
+                                           engine="host"))
         rev = search_setdbs(query_db, control_db, p_host)
         cache.save("result_rev", rev)
         cache.save("aggregate_rev",
