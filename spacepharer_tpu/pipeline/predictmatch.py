@@ -56,22 +56,38 @@ class PredictParams:
 _worker_fn = None
 
 
+# Fixed device-path overhead through the relay: PJRT client init plus
+# the chunked dispatch latency of a dense-prefilter run (measured round
+# 4: a x500-corpus dense run cost minutes of relay wait while the host
+# batch walk did the same work in seconds — BASELINE.md round-4 notes).
+_DENSE_RELAY_OVERHEAD_S = 60.0
+
+# Host batch-walk cost model (native prefilter_batch, measured):
+# fresh postings build ~0.35 s per 1e6 target residues (first-touch
+# dominated), plus ~20 us per query k-mer for the walk itself.
+_HOST_POSTINGS_S_PER_RES = 0.35e-6
+_HOST_WALK_S_PER_KMER = 20e-6
+
+
 def dense_prefilter_viable(nk_total: int, t_res: int, has_idx: bool) -> bool:
-    """Shape gate of the dense MXU prefilter (no accelerator probe).
+    """Auto gate of the dense MXU prefilter (no accelerator probe).
 
     The dense engine is O(query k-mers x target residues) on the MXU
     (~256 bf16 flops per cell pair) while the host postings walk is
-    output-sensitive — so the device pays off ONLY for small query
-    sides against big fresh targets (it then replaces the whole
-    postings build). A catalog-scale query side (10^5+ k-mers) makes
-    the dense product astronomically larger than the host walk; cap by
-    estimated device seconds (~2e14 bf16 flops/s sustained) AND by the
+    output-sensitive. Since round 4's batched native walk, the host
+    side costs seconds even on x500 corpora, so the device must beat
+    estimated-host INCLUDING its fixed relay overhead — in practice
+    that needs a fresh multi-gigabase target side. Hard caps stay: the
     k-mer row count (the Mosaic counts-kernel grid scales with it —
-    past ~32k rows a single compile once stalled the relay ~30 min)."""
+    past ~32k rows a single compile once stalled the relay ~30 min)
+    and the flops-based device-seconds bound."""
     dense_cells = nk_total * t_res
-    dense_seconds = dense_cells * 256 / 2e14
+    dense_seconds = dense_cells * 256 / 2e14 + _DENSE_RELAY_OVERHEAD_S
+    host_seconds = (0.0 if has_idx else t_res * _HOST_POSTINGS_S_PER_RES) \
+        + nk_total * _HOST_WALK_S_PER_KMER
     return (dense_cells > (1e12 if has_idx else 1e10)
-            and dense_seconds < 15.0
+            and dense_seconds < 15.0 + _DENSE_RELAY_OVERHEAD_S
+            and dense_seconds < host_seconds
             and nk_total <= (1 << 15))
 
 

@@ -13,10 +13,19 @@ from spacepharer_tpu.pipeline.predictmatch import (
 
 class TestDensePrefilterGate:
     def test_small_queries_vs_big_fresh_target_uses_device(self):
-        # a few spacer sets (2k k-mers) against a fresh multi-gigabase
-        # target: the dense engine replaces the whole postings build
-        assert dense_prefilter_viable(nk_total=2_000, t_res=50_000_000,
+        # a few spacer sets (2k k-mers) against a fresh half-gigabase
+        # target: only there does the dense engine's relay overhead
+        # beat the (round-4, batched) host postings build + walk
+        assert dense_prefilter_viable(nk_total=2_000, t_res=500_000_000,
                                       has_idx=False)
+
+    def test_moderate_fresh_target_stays_on_host(self):
+        # x500-corpus shape (37M residues): the batched host walk does
+        # this in seconds; the device path measured minutes through the
+        # relay (round-4 regression that motivated the cost model)
+        assert not dense_prefilter_viable(nk_total=2_000,
+                                          t_res=50_000_000,
+                                          has_idx=False)
 
     def test_catalog_query_side_stays_on_host(self):
         # Shmakov-shaped: 370k query ORFs = ~870k k-mers; the dense
@@ -29,14 +38,15 @@ class TestDensePrefilterGate:
         # just above the 32k row cap: off even when the cell product
         # looks attractive
         assert not dense_prefilter_viable(nk_total=(1 << 15) + 1,
-                                          t_res=10 ** 8, has_idx=False)
+                                          t_res=3 * 10 ** 8,
+                                          has_idx=False)
         assert dense_prefilter_viable(nk_total=(1 << 15),
-                                      t_res=10 ** 8, has_idx=False)
+                                      t_res=3 * 10 ** 8, has_idx=False)
 
-    def test_persisted_index_raises_the_bar(self):
+    def test_persisted_index_keeps_host(self):
         # with a persisted postings index the host walk is nearly free;
-        # the dense engine needs 100x more cells to pay off
-        nk, t_res = 2_000, 50_000_000      # 1e11 cells
+        # the dense engine can never amortize its relay overhead
+        nk, t_res = 2_000, 500_000_000
         assert dense_prefilter_viable(nk, t_res, has_idx=False)
         assert not dense_prefilter_viable(nk, t_res, has_idx=True)
 
