@@ -43,6 +43,37 @@ def group_by_target_set(rows, member_to_set):
 def best_hit_per_set(entry_rows, target_member_to_set, target_set_size,
                      simple_best_hit: bool = True):
     """One query entry's rows -> aggregated rows (one per target set)."""
+    if simple_best_hit and len(entry_rows) > 8:
+        # vectorized fast path of the simple mode: parse keys/E-values
+        # in C, group by ascending set, first-min per group (the same
+        # strict-improvement rule as the loop below); the log
+        # correction stays scalar math per group for bit-parity
+        import numpy as np
+        tkeys = np.asarray([r[0] for r in entry_rows], dtype=np.int64)
+        evs = np.asarray([r[3] for r in entry_rows], dtype=np.float64)
+        sets = np.asarray(target_member_to_set)[tkeys]
+        order = np.argsort(sets, kind="stable")
+        so = sets[order]
+        eo = evs[order]
+        bounds = np.flatnonzero(
+            np.concatenate(([True], so[1:] != so[:-1])))
+        bounds = np.append(bounds, len(so))
+        out = []
+        for gi in range(len(bounds) - 1):
+            lo, hi = int(bounds[gi]), int(bounds[gi + 1])
+            rel = int(np.argmin(eo[lo:hi]))      # first min wins
+            best_eval = float(eo[lo + rel])
+            best_row = entry_rows[int(order[lo + rel])]
+            if best_eval == 0:
+                log_corr = math.log(DBL_MIN)
+            elif 0 < best_eval < 10e-4:
+                log_corr = math.log(best_eval)
+            else:
+                log_corr = math.log(1 - math.exp(-best_eval))
+            new_row = list(best_row)
+            new_row[1] = fmt_e3(log_corr)
+            out.append(new_row)
+        return out
     out = []
     for tset, rows in group_by_target_set(entry_rows, target_member_to_set).items():
         best_eval = float("inf")
@@ -214,15 +245,36 @@ def combine_score(entry_rows, query_set_size_of_entry: int,
     orf_count = query_set_size_of_entry
     log_thr = math.log(1.0 / (orf_count + 1))
     out = []
-    for tset, rows in group_by_target_set(entry_rows, target_member_to_set).items():
+    if len(entry_rows) > 8:
+        # vectorized parse + grouping; the order-dependent fallback
+        # accumulation below stays a scalar walk over the floats
+        import numpy as np
+        tkeys = np.asarray([r[0] for r in entry_rows], dtype=np.int64)
+        lps = np.asarray([r[1] for r in entry_rows], dtype=np.float64)
+        sids = np.asarray([r[2] for r in entry_rows], dtype=np.float64)
+        sets = np.asarray(target_member_to_set)[tkeys]
+        order = np.argsort(sets, kind="stable")
+        so = sets[order]
+        bounds = np.flatnonzero(
+            np.concatenate(([True], so[1:] != so[:-1])))
+        bounds = np.append(bounds, len(so))
+        lpo = lps[order].tolist()
+        sio = sids[order].tolist()
+        groups = [(int(so[int(bounds[g])]),
+                   list(zip(lpo[int(bounds[g]):int(bounds[g + 1])],
+                            sio[int(bounds[g]):int(bounds[g + 1])])))
+                  for g in range(len(bounds) - 1)]
+    else:
+        groups = [(tset, [(float(r[1]), float(r[2])) for r in rows])
+                  for tset, rows in group_by_target_set(
+                      entry_rows, target_member_to_set).items()]
+    for tset, vals in groups:
         min_log_pval = 0.0
         min_seq_id = 0.0
         sum_log_pval = 0.0
         sum_seq_id = 0.0
         k = 0
-        for row in rows:
-            log_pval = float(row[1])
-            seq_id = float(row[2])
+        for log_pval, seq_id in vals:
             if log_pval < min_log_pval:
                 # reference quirk: stores -logP, making the comparison
                 # true for every subsequent negative logP — the fallback
