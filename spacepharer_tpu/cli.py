@@ -324,6 +324,22 @@ def cmd_parsespacer(argv):
     with open(out_db + ".sources.tsv", "w") as fh:
         for i, s in enumerate(sources):
             fh.write(f"{i}\t{s}\n")
+    # ALSO emit the reference's MMseqs DB layout (sequence DB + _h
+    # header DB + .lookup/.source), so reference-side tooling — incl.
+    # its own regression script's `query.index` check — reads our
+    # output unchanged
+    from .io.mmseqs_compat import (DBTYPE_GENERIC, DBTYPE_NUCL,
+                                   write_mmseqs_db)
+    write_mmseqs_db(out_db, [r.seq for r in records], DBTYPE_NUCL)
+    write_mmseqs_db(out_db + "_h",
+                    [r.header.encode("ascii") for r in records],
+                    DBTYPE_GENERIC)
+    with open(out_db + ".lookup", "w") as fh:
+        for i, r in enumerate(records):
+            fh.write(f"{i}\t{r.header}\t{r.file_idx}\n")
+    with open(out_db + ".source", "w") as fh:
+        for i, s in enumerate(sources):
+            fh.write(f"{i}\t{s}\n")
     print(f"parsespacer: {len(records)} spacers from {len(sources)} files "
           f"-> {out_db}.spacers.tsv")
     return 0

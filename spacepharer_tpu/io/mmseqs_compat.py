@@ -78,6 +78,24 @@ def _zstd_decompress_frames(blob: bytes) -> bytes:
 
 DBTYPE_AA = 0
 DBTYPE_NUCL = 1
+
+
+def write_mmseqs_db(path: str, entries, dbtype: int):
+    """Write an MMseqs2-format key-value DB (data + .index + .dbtype)
+    with sequential keys — the DBWriter output layout, for drop-in
+    interop (e.g. the reference's own regression script reading our
+    parsespacer output). ``entries`` are payload bytes WITHOUT the
+    trailing newline/terminator; each is stored as payload + b'\\n\\0'
+    like the reference's sequence/header writers."""
+    with open(path, "wb") as data, open(path + ".index", "w") as idx:
+        off = 0
+        for key, payload in enumerate(entries):
+            blob = bytes(payload) + b"\n\0"
+            data.write(blob)
+            idx.write(f"{key}\t{off}\t{len(blob)}\n")
+            off += len(blob)
+    with open(path + ".dbtype", "wb") as fh:
+        fh.write(int(dbtype).to_bytes(4, "little"))
 DBTYPE_PREFILTER_RES = 7
 DBTYPE_ALIGNMENT_RES = 5
 DBTYPE_GENERIC = 12

@@ -85,3 +85,33 @@ def test_parseable_file_with_zero_spacers_is_not_an_error(tmp_path):
     e.write_text("")
     with pytest.raises(ValueError):
         parse_spacers([str(e)])
+
+
+def test_parsespacer_emits_reference_db_layout(tmp_path):
+    """cmd_parsespacer also writes the MMseqs DB layout (sequence DB +
+    _h header DB + .lookup/.source) byte-identical to the reference's
+    own parsespacer output — the reference regression script's
+    `query.index` check (util/run_regression.sh:25-26) passes
+    unmodified against our CLI."""
+    import glob
+    import subprocess
+    import sys
+    import tarfile
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    golden = tmp_path / "golden"
+    with tarfile.open(os.path.join(repo, "tests", "golden_run.tar.gz")) as tf:
+        tf.extractall(golden)
+    inputs = sorted(glob.glob("/root/reference/examples/*_test"))
+    out = str(tmp_path / "query")
+    r = subprocess.run(
+        [sys.executable, "-m", "spacepharer_tpu", "parsespacer"]
+        + inputs + [out],
+        capture_output=True, text=True, cwd=repo,
+        env=dict(os.environ, PYTHONPATH=repo))
+    assert r.returncode == 0, r.stderr
+    for suffix in ("", ".index", ".dbtype", "_h", "_h.index",
+                   "_h.dbtype", ".lookup", ".source"):
+        got = open(out + suffix, "rb").read()
+        want = open(str(golden / "run" / ("query" + suffix)),
+                    "rb").read()
+        assert got == want, f"query{suffix} differs"
