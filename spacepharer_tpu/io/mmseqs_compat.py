@@ -68,10 +68,17 @@ def _zstd_decompress_frames(blob: bytes) -> bytes:
         csize = lib.ZSTD_getFrameContentSize(src, fsize)
         if csize in (2 ** 64 - 1, 2 ** 64 - 2):  # unknown/error
             csize = max(len(src) * 32, 1 << 16)
-        dst = ctypes.create_string_buffer(int(csize))
-        n = lib.ZSTD_decompress(dst, int(csize), src, fsize)
-        if lib.ZSTD_isError(n):
-            raise ValueError("zstd decompression failed")
+        # When the frame header omits the content size the guess above
+        # can be short for very high-ratio frames: retry with doubled
+        # buffers instead of failing (cap: 1 GiB per frame).
+        while True:
+            dst = ctypes.create_string_buffer(int(csize))
+            n = lib.ZSTD_decompress(dst, int(csize), src, fsize)
+            if not lib.ZSTD_isError(n):
+                break
+            if csize >= 1 << 30:
+                raise ValueError("zstd decompression failed")
+            csize = int(csize) * 2
         out.append(dst.raw[:n])
         view = view[fsize:]
     return b"".join(out)

@@ -2,12 +2,14 @@
 compiler and loaded via ctypes. Falls back to the NumPy implementations
 when no compiler is available."""
 import ctypes
+import hashlib
 import os
 import subprocess
 import sys
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _LIB_PATH = os.path.join(_DIR, "_spacepharer_native.so")
+_HASH_PATH = _LIB_PATH + ".hash"
 _SOURCES = [os.path.join(_DIR, "tantan_native.c"),
             os.path.join(_DIR, "sw_native.c"),
             os.path.join(_DIR, "search_native.c")]
@@ -16,14 +18,24 @@ _lib = None
 _tried = False
 
 
-def _build() -> bool:
+def _src_hash() -> str:
+    h = hashlib.sha256()
+    for s in _SOURCES:
+        with open(s, "rb") as fh:
+            h.update(fh.read())
+    return h.hexdigest()
+
+
+def _build(want_hash: str) -> bool:
     cc = os.environ.get("CC", "cc")
     cmd = [cc, "-O2", "-shared", "-fPIC", "-pthread",
            "-o", _LIB_PATH] + _SOURCES
     try:
         subprocess.run(cmd, check=True, capture_output=True)
+        with open(_HASH_PATH, "w") as fh:
+            fh.write(want_hash)
         return True
-    except (subprocess.CalledProcessError, FileNotFoundError) as e:
+    except (subprocess.CalledProcessError, FileNotFoundError, OSError) as e:
         print(f"spacepharer_tpu: native build failed ({e}); "
               "using NumPy fallbacks", file=sys.stderr)
         return False
@@ -35,10 +47,19 @@ def get_lib():
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    newest_src = max(os.path.getmtime(s) for s in _SOURCES)
-    if (not os.path.exists(_LIB_PATH)
-            or os.path.getmtime(_LIB_PATH) < newest_src):
-        if not _build():
+    # The rebuild is keyed on a content hash of the sources (mtimes do
+    # not survive git checkout, so a stale committed .so could
+    # otherwise load silently).
+    want = _src_hash()
+    have = None
+    if os.path.exists(_HASH_PATH):
+        try:
+            with open(_HASH_PATH) as fh:
+                have = fh.read().strip()
+        except OSError:
+            pass
+    if not os.path.exists(_LIB_PATH) or have != want:
+        if not _build(want):
             return None
     try:
         lib = ctypes.CDLL(_LIB_PATH)

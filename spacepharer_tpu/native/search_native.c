@@ -179,11 +179,16 @@ typedef struct {
     int64_t cap;     /* in elements */
 } buf_t;
 
+/* Returns NULL on allocation failure (old block kept; caller must
+ * propagate the error rather than dereference). */
 static void *buf_ensure(buf_t *b, int64_t n, size_t elem) {
     if (n > b->cap) {
         int64_t nc = b->cap ? b->cap : 4096;
         while (nc < n) nc *= 2;
-        b->p = realloc(b->p, (size_t)nc * elem);
+        void *np = realloc(b->p, (size_t)nc * elem);
+        if (!np)
+            return NULL;
+        b->p = np;
         b->cap = nc;
     }
     return b->p;
@@ -255,6 +260,10 @@ static void pf_one_query(pf_worker_t *w, int64_t qi) {
         return;
 
     double *bias = (double *)buf_ensure(&w->bias, lq, sizeof(double));
+    if (!bias) {
+        *sh->error = 1;
+        return;
+    }
     if (sh->comp_bias_corr)
         local_bias(q, lq, sh->seed, sh->A, sh->expected_tab, bias);
     else
@@ -263,6 +272,10 @@ static void pf_one_query(pf_worker_t *w, int64_t qi) {
     /* ungapped rescoring profile + u8 cap (ungapped_profile_cap) */
     int32_t A = sh->A;
     int32_t *prof = (int32_t *)buf_ensure(&w->prof, lq * A, sizeof(int32_t));
+    if (!prof) {
+        *sh->error = 1;
+        return;
+    }
     int64_t corr_min = 0;
     for (int64_t j = 0; j < lq; j++) {
         int64_t corr = round_half_away(bias[j] / 4.0);
@@ -360,6 +373,10 @@ static void pf_one_query(pf_worker_t *w, int64_t qi) {
                                                  sizeof(int32_t));
                     st_d = (uint16_t *)buf_ensure(&w->st_d, ns + (phi - plo),
                                                   sizeof(uint16_t));
+                    if (!st_t || !st_d) {
+                        *sh->error = 1;
+                        return;
+                    }
                 }
                 for (int64_t p = plo; p < phi; p++) {
                     st_t[ns] = sh->post_seq[p];
@@ -377,6 +394,10 @@ static void pf_one_query(pf_worker_t *w, int64_t qi) {
         ? sh->max_seqs : sh->n_targets;
     int32_t *fin = (int32_t *)buf_ensure(&w->fin, fin_cap * 3,
                                          sizeof(int32_t));
+    if (!fin) {
+        *sh->error = 1;
+        return;
+    }
     int64_t nh = prefilter_finalize(
         st_t, st_d, ns, sh->bin_bits,
         sh->flat_masked, sh->t_starts, sh->n_targets,
@@ -392,6 +413,10 @@ static void pf_one_query(pf_worker_t *w, int64_t qi) {
                                          sizeof(int32_t));
     int32_t *h_d = (int32_t *)buf_ensure(&w->h_d, w->h_n + nh,
                                          sizeof(int32_t));
+    if (!h_t || !h_s || !h_d) {
+        *sh->error = 1;
+        return;
+    }
     memcpy(h_t + w->h_n, fin, sizeof(int32_t) * (size_t)nh);
     memcpy(h_s + w->h_n, fin + fin_cap, sizeof(int32_t) * (size_t)nh);
     memcpy(h_d + w->h_n, fin + 2 * fin_cap, sizeof(int32_t) * (size_t)nh);
@@ -402,9 +427,16 @@ static void pf_one_query(pf_worker_t *w, int64_t qi) {
 static void *pf_worker_main(void *arg) {
     pf_worker_t *w = (pf_worker_t *)arg;
     pf_shared_t *sh = w->sh;
-    buf_ensure(&w->st_t, 1 << 16, sizeof(int32_t));
-    buf_ensure(&w->st_d, 1 << 16, sizeof(uint16_t));
+    if (!buf_ensure(&w->st_t, 1 << 16, sizeof(int32_t))
+            || !buf_ensure(&w->st_d, 1 << 16, sizeof(uint16_t))) {
+        *sh->error = 1;
+        return NULL;
+    }
     w->loc = (pf_loc_t *)malloc(sizeof(pf_loc_t) * N_HALF);
+    if (!w->loc) {
+        *sh->error = 1;
+        return NULL;
+    }
     for (;;) {
         int64_t q0 = __atomic_fetch_add(sh->next_q, PF_CHUNK,
                                         __ATOMIC_RELAXED);

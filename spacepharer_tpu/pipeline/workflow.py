@@ -102,6 +102,16 @@ class WorkflowCache:
             info(f"[resume] {name}: reusing cached artifact")
             return self.load(name)
         result = fn()
+        barrier = os.environ.get("SPACEPHARER_STAGE_BARRIER")
+        if barrier == name:
+            # Test hook: commit this stage's artifact synchronously,
+            # then pause so a kill-mid-run test can land its SIGKILL
+            # deterministically between two stages.
+            import time
+            self.save(name, result)
+            time.sleep(float(os.environ.get(
+                "SPACEPHARER_STAGE_BARRIER_SECS", "600")))
+            return result
         self.save_async(name, result)
         return result
 

@@ -67,7 +67,7 @@ def protein_aln_to_nucl(entries: dict, q_nucl_seqs, t_nucl_seqs,
             new_bt_parts = []
             # run-length walk of the compressed form, counts x3
             cnt = 0
-            for c in row[10]:
+            for c in (row[10] if len(row) > 10 else ""):
                 if c.isdigit():
                     cnt = cnt * 10 + int(c)
                     continue
@@ -141,7 +141,8 @@ def _rescore_native(lib, entries, q_nucl_seqs, t_nucl_seqs, nucl_m,
         for row in rows:
             staged.append((qkey, row, qp,
                            _pool("t", int(row[0]), t_nucl_seqs)))
-            bt_parts.append(row[10].encode("ascii"))
+            bt_parts.append(row[10].encode("ascii")
+                            if len(row) > 10 else b"")
 
     out = {qkey: [] for qkey in entries}
     n = len(staged)

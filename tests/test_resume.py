@@ -81,11 +81,14 @@ def test_kill_mid_run_resumes_at_first_missing_stage(examples_dir,
                os.path.join(examples_dir, "JNGQ01000029.fas")]
     args = [sys.executable, "-m", "spacepharer_tpu", "easy-predict"] \
         + spacers + ["targets", "out.tsv", "ep_tmp", "-v", "3"]
-    proc = subprocess.Popen(args, cwd=d, env=env,
+    # The stage barrier makes the kill window deterministic: the child
+    # commits the first search artifact synchronously, then pauses
+    # until our SIGKILL — no timing race, no conditional skip.
+    kill_env = dict(env, SPACEPHARER_STAGE_BARRIER="result")
+    proc = subprocess.Popen(args, cwd=d, env=kill_env,
                             stdout=subprocess.DEVNULL,
                             stderr=subprocess.DEVNULL)
-    # kill as soon as the first search artifact is committed
-    deadline = time.time() + 120
+    deadline = time.time() + 240
     killed = False
     while time.time() < deadline and proc.poll() is None:
         arts = glob.glob(os.path.join(d, "ep_tmp", "*", "result.pkl"))
@@ -94,14 +97,9 @@ def test_kill_mid_run_resumes_at_first_missing_stage(examples_dir,
             killed = True
             break
         time.sleep(0.02)
-    proc.wait(timeout=120)
-    if not killed:
-        pytest.skip("run finished before the kill window")
-    if os.path.exists(os.path.join(d, "out.tsv")):
-        # artifact writes are async (WorkflowCache.save_async): under
-        # load the result.pkl rename can land after the run already
-        # finished — no mid-run state left to exercise
-        pytest.skip("kill landed after completion (async writer lag)")
+    proc.wait(timeout=240)
+    assert killed, "pipeline exited before committing the result artifact"
+    assert not os.path.exists(os.path.join(d, "out.tsv"))
 
     r = subprocess.run(args, cwd=d, env=env, capture_output=True,
                        text=True)
