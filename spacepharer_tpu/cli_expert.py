@@ -427,7 +427,30 @@ def cmd_createbintaxonomy(argv):
     return 0
 
 
+def cmd_convertsetdb(argv):
+    """convertsetdb <refSetDBprefix> <outSetDB> — import a
+    reference-built createsetdb bundle (data/createsetdb.sh:39-170
+    layout: OUTDB + _nucl + _nucl_orf + maps + _set_size [+ tax
+    mappings]) into a packed SetDB directory. predictmatch and
+    easy-predict also read the reference layout directly (SetDB.load
+    falls back to this importer); converting persists the packed form
+    so later loads skip the text-DB parse."""
+    p = argparse.ArgumentParser(prog="spacepharer convertsetdb")
+    p.add_argument("refSetDB")
+    p.add_argument("outSetDB")
+    p.add_argument("--tax-dump-dir", default=None,
+                   help="NCBI taxdump dir for downstream LCA output")
+    args = p.parse_args(argv)
+    db = SetDB.from_mmseqs(args.refSetDB, taxdump_dir=args.tax_dump_dir)
+    db.save(args.outSetDB)
+    print(f"convertsetdb: {db.n_sets} sets, {db.n_contigs} contigs, "
+          f"{db.n_orfs} ORFs -> {args.outSetDB}"
+          + (" (control DB)" if db.is_control else ""))
+    return 0
+
+
 EXPERT_COMMANDS = {
+    "convertsetdb": cmd_convertsetdb,
     "createbintaxonomy": cmd_createbintaxonomy,
     "reverseseqbycodon": cmd_reverseseqbycodon,
     "combinepvalperset": cmd_combinepvalperset,

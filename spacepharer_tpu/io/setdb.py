@@ -244,6 +244,11 @@ class SetDB:
 
     @classmethod
     def load(cls, path: str) -> "SetDB":
+        if not os.path.exists(os.path.join(path, "meta.json")) \
+                and os.path.exists(path + ".dbtype"):
+            # a reference-built createsetdb bundle (downloaddb catalogs,
+            # golden runs): import it transparently
+            return cls.from_mmseqs(path)
         with open(os.path.join(path, "meta.json")) as fh:
             meta = json.load(fh)
         if meta.get("version") != FORMAT_VERSION:
@@ -270,7 +275,162 @@ class SetDB:
 
     @staticmethod
     def exists(path: str) -> bool:
-        return os.path.exists(os.path.join(path, "meta.json"))
+        return (os.path.exists(os.path.join(path, "meta.json"))
+                or (os.path.exists(path + ".dbtype")
+                    and os.path.exists(path + "_nucl.dbtype")))
+
+    @classmethod
+    def from_mmseqs(cls, prefix: str,
+                    taxdump_dir: Optional[str] = None) -> "SetDB":
+        """Import a reference-built createsetdb bundle (OUTDB + _nucl +
+        _nucl_orf + _h + .lookup/.source + maps + _set_size [+ tax],
+        data/createsetdb.sh:39-170) into a SetDB.
+
+        Preserves the reference's own key orders (contig id = _nucl key
+        rank, ORF id = OUTDB key rank), so a downloaddb catalog built
+        with the reference tool chain runs through predictmatch without
+        re-downloading FASTA. The control flag is autodetected by
+        comparing a stored ORF entry with the direct contig slice
+        (reverseseqbycodon bundles differ exactly by codon reversal).
+        """
+        from .mmseqs_compat import MMseqsDB
+        from ..ops.revcodon import reverse_by_codon
+
+        nucl = MMseqsDB(prefix + "_nucl")
+        nucl_h = MMseqsDB(prefix + "_nucl_h")
+        orf_db = MMseqsDB(prefix + "_nucl_orf")
+        orf_h = MMseqsDB(prefix + "_nucl_orf_h")
+        aa_db = MMseqsDB(prefix)
+
+        # ---- contigs (id = key rank; keys ascend in the index)
+        n_contigs = len(nucl)
+        key_to_rank = {int(k): i for i, k in enumerate(nucl.keys)}
+        contig_parts = [np.frombuffer(nucl.get_by_rank(i).rstrip(b"\n"),
+                                      dtype=np.uint8)
+                        for i in range(n_contigs)]
+        contig_data, contig_offsets = _flat(
+            [p.copy() for p in contig_parts])
+        headers = [nucl_h.get_by_rank(i).decode().rstrip("\n")
+                   for i in range(n_contigs)]
+        accs = [parse_fasta_header_accession(h) for h in headers]
+        contig_to_set = np.zeros(n_contigs, dtype=np.int32)
+        for key, acc, file_num in nucl.lookup():
+            rank = key_to_rank.get(key)
+            if rank is not None:
+                contig_to_set[rank] = file_num
+                accs[rank] = acc
+        sources = nucl.source()
+        n_sets = max(num for num, _ in sources) + 1 if sources else 0
+        set_names = [""] * n_sets
+        for num, name in sources:
+            set_names[num] = name
+
+        # ---- ORFs: header 'contigKey \t from±len [\t complete]'
+        # (Orf::writeOrfHeader, lib/mmseqs/src/commons/Orf.cpp:440-458)
+        n_orfs = len(orf_db)
+        if len(aa_db) != n_orfs or len(orf_h) != n_orfs:
+            raise ValueError(
+                f"{prefix}: AA/ORF DB entry counts disagree "
+                f"({len(aa_db)} vs {n_orfs})")
+        orf_contig = np.empty(n_orfs, dtype=np.int32)
+        orf_from = np.empty(n_orfs, dtype=np.int64)
+        orf_to = np.empty(n_orfs, dtype=np.int64)
+        orf_complete = np.zeros(n_orfs, dtype=np.uint8)
+        for i in range(n_orfs):
+            fields = orf_h.get_by_rank(i).rstrip(b"\n").split(b"\t")
+            orf_contig[i] = key_to_rank[int(fields[0])]
+            span = fields[1]
+            sep = span.find(b"+")
+            if sep >= 0:
+                f = int(span[:sep])
+                t = f + int(span[sep + 1:])
+            else:
+                sep = span.find(b"-", 1)
+                f = int(span[:sep])
+                t = f - int(span[sep + 1:])
+            orf_from[i] = f
+            orf_to[i] = t
+            if len(fields) > 2:
+                orf_complete[i] = int(fields[2])
+
+        aa_parts = [np.frombuffer(aa_db.get_by_rank(i).rstrip(b"\n"),
+                                  dtype=np.uint8).copy()
+                    for i in range(n_orfs)]
+        aa_data, aa_offsets = _flat(aa_parts)
+        nucl_parts = [np.frombuffer(orf_db.get_by_rank(i).rstrip(b"\n"),
+                                    dtype=np.uint8).copy()
+                      for i in range(n_orfs)]
+        nucl_data, nucl_offsets = _flat(nucl_parts)
+
+        # ---- control autodetect: stored entry vs direct slice
+        is_control = False
+        for i in range(n_orfs):
+            f, t = int(orf_from[i]), int(orf_to[i])
+            c = contig_parts[int(orf_contig[i])]
+            sl = (c[f:t + 1].copy() if f <= t
+                  else revcomp_ascii(c[t:f + 1]))
+            sl[sl == ord("U")] = ord("T")
+            sl[sl == ord("u")] = ord("t")
+            stored = nucl_parts[i]
+            if np.array_equal(stored, sl):
+                break
+            if np.array_equal(stored, reverse_by_codon(sl)):
+                is_control = True
+                break
+            # ambiguous (e.g. palindromic); try the next ORF
+        else:
+            if n_orfs:
+                raise ValueError(
+                    f"{prefix}: ORF entries match neither the contig "
+                    "slice nor its codon reversal")
+
+        set_size = np.bincount(contig_to_set[orf_contig],
+                               minlength=n_sets).astype(np.int32)
+        try:
+            ss_db = MMseqsDB(prefix + "_set_size")
+            for k, payload in ss_db.items():
+                set_size[k] = int(payload.rstrip(b"\n"))
+        except FileNotFoundError:
+            pass
+
+        db = cls(
+            contig_data=contig_data, contig_offsets=contig_offsets,
+            contig_accession=accs, contig_header=headers,
+            contig_to_set=contig_to_set, set_names=set_names,
+            orf_contig=orf_contig, orf_from=orf_from, orf_to=orf_to,
+            orf_complete=orf_complete,
+            orf_aa_data=aa_data, orf_aa_offsets=aa_offsets,
+            orf_nucl_data=nucl_data, orf_nucl_offsets=nucl_offsets,
+            set_size=set_size,
+            is_control=is_control,
+        )
+
+        # ---- taxonomy mappings (createsetdb.sh:146-166)
+        def _read_mapping(path, n):
+            if not os.path.exists(path):
+                return None
+            out = np.zeros(n, dtype=np.int64)
+            with open(path) as fh:
+                for line in fh:
+                    parts = line.split("\t")
+                    if len(parts) >= 2:
+                        k = int(parts[0])
+                        if 0 <= k < n:
+                            out[k] = int(parts[1])
+            return out
+
+        db.set_taxid = _read_mapping(prefix + "_set_mapping", n_sets)
+        contig_tax = _read_mapping(prefix + "_nucl_mapping", n_contigs)
+        if contig_tax is not None:
+            # _nucl_mapping is keyed by contig KEY; remap to rank
+            remap = np.zeros(n_contigs, dtype=np.int64)
+            for key, rank in key_to_rank.items():
+                if 0 <= key < n_contigs:
+                    remap[rank] = contig_tax[key]
+            db.contig_taxid = remap
+        db.orf_taxid = _read_mapping(prefix + "_nucl_orf_mapping", n_orfs)
+        db.taxdump_path = taxdump_dir
+        return db
 
 
 def build_setdb_from_fasta(files: list, spacer_mode: bool = False,

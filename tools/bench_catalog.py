@@ -37,6 +37,7 @@ def run(args, cwd):
 
 
 def main():
+    global SPACEPHARER
     ap = argparse.ArgumentParser()
     ap.add_argument("catalog", help="dir of spacer-set .fas files")
     ap.add_argument("genomes", help="dir of target genome .fna.gz files")
@@ -46,8 +47,12 @@ def main():
                     help="fail if the child tree's peak RSS exceeds this")
     ap.add_argument("--extra", nargs="*", default=[],
                     help="extra easy-predict flags")
+    ap.add_argument("--binary", default=SPACEPHARER,
+                    help="spacepharer executable (ours by default; pass "
+                         "the reference build for like-for-like runs)")
     args = ap.parse_args()
 
+    SPACEPHARER = args.binary
     os.makedirs(args.workdir, exist_ok=True)
     genomes = sorted(glob.glob(os.path.join(args.genomes, "*.fna.gz")))
     sets = sorted(glob.glob(os.path.join(args.catalog, "*.fas")))
