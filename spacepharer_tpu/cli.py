@@ -310,6 +310,8 @@ def cmd_parsespacer(argv):
     p.add_argument("inputs", nargs="+", help="spacer files/dir/tsv + outDB")
     p.add_argument("--file-include", type=str, default=".*")
     p.add_argument("--file-exclude", type=str, default="^$")
+    p.add_argument("--compressed", type=int, default=0,
+                   help="emit per-entry zstd DBs (DBWriter --compressed)")
     args = p.parse_args(argv)
     if len(args.inputs) < 2:
         p.error("need <files...> <outDB>")
@@ -330,10 +332,11 @@ def cmd_parsespacer(argv):
     # output unchanged
     from .io.mmseqs_compat import (DBTYPE_GENERIC, DBTYPE_NUCL,
                                    write_mmseqs_db)
-    write_mmseqs_db(out_db, [r.seq for r in records], DBTYPE_NUCL)
+    write_mmseqs_db(out_db, [r.seq for r in records], DBTYPE_NUCL,
+                    compressed=bool(args.compressed))
     write_mmseqs_db(out_db + "_h",
                     [r.header.encode("ascii") for r in records],
-                    DBTYPE_GENERIC)
+                    DBTYPE_GENERIC, compressed=bool(args.compressed))
     with open(out_db + ".lookup", "w") as fh:
         for i, r in enumerate(records):
             fh.write(f"{i}\t{r.header}\t{r.file_idx}\n")

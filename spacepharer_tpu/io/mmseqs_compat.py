@@ -48,6 +48,12 @@ def _zstd():
                                         ctypes.c_void_p, ctypes.c_size_t]
         lib.ZSTD_isError.restype = ctypes.c_uint
         lib.ZSTD_isError.argtypes = [ctypes.c_size_t]
+        lib.ZSTD_compress.restype = ctypes.c_size_t
+        lib.ZSTD_compress.argtypes = [ctypes.c_void_p, ctypes.c_size_t,
+                                      ctypes.c_void_p, ctypes.c_size_t,
+                                      ctypes.c_int]
+        lib.ZSTD_compressBound.restype = ctypes.c_size_t
+        lib.ZSTD_compressBound.argtypes = [ctypes.c_size_t]
         _ZSTD = lib
     return _ZSTD or None
 
@@ -87,22 +93,49 @@ DBTYPE_AA = 0
 DBTYPE_NUCL = 1
 
 
-def write_mmseqs_db(path: str, entries, dbtype: int):
+def write_mmseqs_db(path: str, entries, dbtype: int,
+                    compressed: bool = False):
     """Write an MMseqs2-format key-value DB (data + .index + .dbtype)
     with sequential keys — the DBWriter output layout, for drop-in
     interop (e.g. the reference's own regression script reading our
     parsespacer output). ``entries`` are payload bytes WITHOUT the
     trailing newline/terminator; each is stored as payload + b'\\n\\0'
-    like the reference's sequence/header writers."""
+    like the reference's sequence/header writers.
+
+    ``compressed`` emits the DBWriter --compressed per-entry layout
+    (DBWriter.cpp:280-389): [u32 cSize][zstd frame][\\0] with the
+    UNCOMPRESSED length (+1 for the flag byte) in the index, dbtype
+    bit 31 set; entries under 60 bytes are stored raw with a 0xFF
+    flag, mirroring the reference's small-entry escape."""
+    lib = _zstd() if compressed else None
+    if compressed and lib is None:
+        raise RuntimeError("--compressed write needs system libzstd")
     with open(path, "wb") as data, open(path + ".index", "w") as idx:
         off = 0
         for key, payload in enumerate(entries):
-            blob = bytes(payload) + b"\n\0"
+            if compressed:
+                body = bytes(payload) + b"\n"
+                if len(body) < 60:
+                    blob = (len(body).to_bytes(4, "little") + body
+                            + b"\xff")
+                else:
+                    bound = lib.ZSTD_compressBound(len(body))
+                    dst = ctypes.create_string_buffer(bound)
+                    n = lib.ZSTD_compress(dst, bound, body, len(body), 3)
+                    if lib.ZSTD_isError(n):
+                        raise ValueError("zstd compression failed")
+                    blob = (int(n).to_bytes(4, "little") + dst.raw[:n]
+                            + b"\0")
+                length = len(body) + 1
+            else:
+                blob = bytes(payload) + b"\n\0"
+                length = len(blob)
             data.write(blob)
-            idx.write(f"{key}\t{off}\t{len(blob)}\n")
+            idx.write(f"{key}\t{off}\t{length}\n")
             off += len(blob)
     with open(path + ".dbtype", "wb") as fh:
-        fh.write(int(dbtype).to_bytes(4, "little"))
+        raw = int(dbtype) | ((1 << 31) if compressed else 0)
+        fh.write(raw.to_bytes(4, "little"))
 DBTYPE_PREFILTER_RES = 7
 DBTYPE_ALIGNMENT_RES = 5
 DBTYPE_GENERIC = 12

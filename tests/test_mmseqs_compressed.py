@@ -38,3 +38,43 @@ def test_compressed_entries_byte_identical(dbs):
     assert len(c) == len(u) > 0
     for k in u.keys:
         assert c.get(int(k)) == u.get(int(k))
+
+
+REF_BIN = "/tmp/refbuild/src/spacepharer"
+
+
+@pytest.mark.skipif(_zstd() is None, reason="no system libzstd")
+def test_compressed_write_roundtrip(tmp_path):
+    """write_mmseqs_db(compressed=True) (DBWriter.h:28-40 --compressed
+    analog) round-trips through our own reader, including the <60-byte
+    raw-copy escape (DBWriter.cpp:281-283)."""
+    from spacepharer_tpu.io.mmseqs_compat import write_mmseqs_db
+    payloads = [b"A" * 5, b"PEPTIDE" * 40, b"", b"M" * 59, b"K" * 60,
+                bytes(range(65, 91)) * 100]
+    path = str(tmp_path / "db_w")
+    write_mmseqs_db(path, payloads, 0, compressed=True)
+    db = MMseqsDB(path)
+    assert db.compressed and db.dbtype == 0
+    for i, p in enumerate(payloads):
+        assert db.get(i) == p + b"\n"
+
+
+@pytest.mark.skipif(_zstd() is None or not os.path.exists(REF_BIN),
+                    reason="needs libzstd + reference build")
+def test_compressed_write_read_by_reference_binary(tmp_path):
+    """The reference binary's own DBReader must accept our compressed
+    layout: `spacepharer decompress` on our DB reproduces the plain
+    payloads byte for byte."""
+    import subprocess
+    from spacepharer_tpu.io.mmseqs_compat import write_mmseqs_db
+    payloads = [b"MSEQWENCE" * 30, b"SHORT", b"LONGER" * 100]
+    src = str(tmp_path / "db_c")
+    out = str(tmp_path / "db_plain")
+    write_mmseqs_db(src, payloads, 0, compressed=True)
+    r = subprocess.run([REF_BIN, "decompress", src, out, "--threads", "1"],
+                       capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+    plain = MMseqsDB(out)
+    assert not plain.compressed
+    for i, p in enumerate(payloads):
+        assert plain.get(i) == p + b"\n"
