@@ -83,8 +83,11 @@ def _add_predict_flags(p):
     p.add_argument("-k", "--kmer-size",
                    type=_ranged(int, 4, 8, "-k"), default=6)
     p.add_argument("--spaced-kmer-pattern", type=str, default="11011101")
+    # default 300 = the reference's EFFECTIVE maxResListLen: its
+    # "maxSequences = 1500" (PredictMatch.cpp:15) sets the clustering
+    # --max-sequences member, not --max-seqs (see PrefilterParams)
     p.add_argument("--max-seqs",
-                   type=_ranged(int, 1, None, "--max-seqs"), default=1500)
+                   type=_ranged(int, 1, None, "--max-seqs"), default=300)
     p.add_argument("-e", "--evalue",
                    type=_ranged(float, 0.0, None, "-e"), default=200.0)
     p.add_argument("--gap-open", type=_multiparam_checked,
@@ -453,8 +456,11 @@ def cmd_multihitsearch(argv):
     """multihitsearch <querySetDB> <targetSetDB> <out.tsv> <tmpDir> —
     search + besthitperset + mergeresultsbyset
     (lib/mmseqs/src/multihit/MultiHitSearch.cpp defaults: s=5.7, e=100,
-    max-seqs 1500, simple best hit). Chain the combinepvalperset expert
-    command for the combined set P-values."""
+    simple best hit; its "maxSequences = 1500" line sets the clustering
+    --max-sequences member, so the EFFECTIVE --max-seqs is the 300
+    default — same quirk as PredictMatch, see PrefilterParams). Chain
+    the combinepvalperset expert command for the combined set
+    P-values."""
     p = argparse.ArgumentParser(prog="spacepharer multihitsearch")
     p.add_argument("querySetDB")
     p.add_argument("targetSetDB")
@@ -468,7 +474,7 @@ def cmd_multihitsearch(argv):
                    type=_ranged(int, 1, 32, "--sens-steps"), default=1,
                    help="iterative search steps (blastp.sh STEPS loop)")
     p.add_argument("--max-seqs",
-                   type=_ranged(int, 1, None, "--max-seqs"), default=1500)
+                   type=_ranged(int, 1, None, "--max-seqs"), default=300)
     p.add_argument("--threads", type=int, default=0)
     p.add_argument("--simple-best-hit", type=int, default=1, choices=(0, 1))
     # the generic MMseqs surface defaults to BLOSUM62 with 11/1 gaps

@@ -287,7 +287,7 @@ def cmd_prefilter(argv):
     p.add_argument("-s", "--sensitivity", type=float, default=5.7)
     p.add_argument("-k", "--kmer-size", type=int, default=6)
     p.add_argument("--spaced-kmer-pattern", type=str, default="11011101")
-    p.add_argument("--max-seqs", type=int, default=1500)
+    p.add_argument("--max-seqs", type=int, default=300)
     p.add_argument("--mask", type=int, default=1, choices=(0, 1))
     p.add_argument("--comp-bias-corr", type=int, default=1, choices=(0, 1))
     args = p.parse_args(argv)

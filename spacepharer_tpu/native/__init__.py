@@ -12,7 +12,8 @@ _LIB_PATH = os.path.join(_DIR, "_spacepharer_native.so")
 _HASH_PATH = _LIB_PATH + ".hash"
 _SOURCES = [os.path.join(_DIR, "tantan_native.c"),
             os.path.join(_DIR, "sw_native.c"),
-            os.path.join(_DIR, "search_native.c")]
+            os.path.join(_DIR, "search_native.c"),
+            os.path.join(_DIR, "banded_native.c")]
 
 _lib = None
 _tried = False
@@ -196,6 +197,19 @@ def get_lib():
         ctypes.c_int32, ctypes.c_int32,                            # gaps
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,         # out
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,         # new bt
+    ]
+    lib.banded_align_batch.restype = ctypes.c_int64
+    lib.banded_align_batch.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p,                          # queries
+        ctypes.c_void_p, ctypes.c_void_p,                          # targets
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,         # pairs
+        ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_int32,                           # matrix
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,            # costs
+        ctypes.c_int32,                                            # threads
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,         # out
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,         # out
+        ctypes.c_void_p,                                           # out
     ]
     lib.orf_nucl_ranges.restype = None
     lib.orf_nucl_ranges.argtypes = [

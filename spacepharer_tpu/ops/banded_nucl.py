@@ -34,6 +34,7 @@ Verified cell-exact against a C++ probe driving the reference's own
 BandedNucleotideAligner (tests/test_banded_nucl.py,
 tests/banded_nucl_ref.tsv fixture).
 """
+import os
 from dataclasses import dataclass, field
 from typing import Optional
 
@@ -359,6 +360,51 @@ class BandedAlnResult:
 
 def _compute_cov(start, end, length):
     return float(end - start + 1) / length
+
+
+def banded_align_batch(q_list, t_list, pairs, mat: np.ndarray,
+                       gapo: int, gape: int, zdrop: int,
+                       n_threads: int = 0):
+    """Batched BandedNucleotideAligner over candidate ``pairs``
+    [(q_idx, t_idx, diagonal)]: ONE native call over flat-packed
+    sequences (pthread pool), returning per-pair arrays
+    (score, q_start, q_end, t_start, t_end, aa_ids, bt_len) — the
+    fields the m8 writer consumes. Bit-identical to
+    banded_nucleotide_align per pair (tests/test_banded_batch.py);
+    returns None when the native library is unavailable (callers fall
+    back to the per-pair engine)."""
+    from ..native import get_lib
+    lib = get_lib()
+    n = len(pairs)
+    if lib is None:
+        return None
+    qoff = np.zeros(len(q_list) + 1, dtype=np.int64)
+    np.cumsum([len(q) for q in q_list], out=qoff[1:])
+    toff = np.zeros(len(t_list) + 1, dtype=np.int64)
+    np.cumsum([len(t) for t in t_list], out=toff[1:])
+    qflat = (np.concatenate([np.asarray(q, dtype=np.uint8)
+                             for q in q_list])
+             if qoff[-1] else np.zeros(1, np.uint8))
+    tflat = (np.concatenate([np.asarray(t, dtype=np.uint8)
+                             for t in t_list])
+             if toff[-1] else np.zeros(1, np.uint8))
+    pair_q = np.ascontiguousarray([p[0] for p in pairs], dtype=np.int32)
+    pair_t = np.ascontiguousarray([p[1] for p in pairs], dtype=np.int32)
+    pair_d = np.ascontiguousarray([p[2] for p in pairs], dtype=np.int32)
+    m32 = np.ascontiguousarray(mat, dtype=np.int32)
+    outs = [np.empty(max(n, 1), dtype=np.int32) for _ in range(7)]
+    if n_threads <= 0:
+        n_threads = min(os.cpu_count() or 1, 16)
+    rc = lib.banded_align_batch(
+        qflat.ctypes.data, qoff.ctypes.data,
+        tflat.ctypes.data, toff.ctypes.data,
+        pair_q.ctypes.data, pair_t.ctypes.data, pair_d.ctypes.data, n,
+        m32.ctypes.data, m32.shape[0],
+        int(gapo), int(gape), int(zdrop), int(n_threads),
+        *[o.ctypes.data for o in outs])
+    if rc != 0:
+        return None
+    return tuple(outs)
 
 
 def banded_nucleotide_align(query: np.ndarray, target: np.ndarray,

@@ -30,7 +30,13 @@ class PrefilterParams:
     kmer_size: int = 6
     spaced_pattern: str = "11011101"
     sensitivity: float = 5.7
-    max_seqs: int = 1500
+    # The reference INTENDS 1500 (PredictMatch.cpp:15 "maxSequences =
+    # 1500") but that assigns the clustering --max-sequences member,
+    # not the prefilter's maxResListLen (--max-seqs, Parameters.cpp:
+    # 2084), so its prefilter actually runs with the DEFAULT 300 —
+    # empirically confirmed at flagship scale (prot_result rows/query
+    # cap at exactly 300). Byte parity requires the effective value.
+    max_seqs: int = 300
     min_diag_score: int = 15
     mask: bool = True
     comp_bias_corr: bool = True

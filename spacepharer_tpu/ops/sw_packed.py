@@ -94,6 +94,14 @@ def _kernel(bounds_ref, prof_ref, c1_ref, c2_ref, first_ref, qoff_ref,
     sdt = jnp.int16 if state16 else jnp.int32
     go = sdt(gap_open)
     ge = sdt(gap_extend)
+    if state16:
+        # Mosaic cannot legalize arith.maxsi on int16 vectors for v5e;
+        # a compare+select expresses the same max through ops it CAN
+        # legalize (round-4 lever, re-run as the round-5 experiment)
+        def vmax(a, b):
+            return jnp.where(a > b, a, b)
+    else:
+        vmax = jnp.maximum
     iota_a = jax.lax.broadcasted_iota(jnp.int32, (a_pad, t_tile), 0)
     zrow = jnp.zeros((1, t_tile), sdt)
 
@@ -113,8 +121,8 @@ def _kernel(bounds_ref, prof_ref, c1_ref, c2_ref, first_ref, qoff_ref,
             preferred_element_type=jnp.float32).astype(sdt)
         h_diag = jnp.where(
             first, sdt(0), jnp.concatenate([zrow, H[:-1, :]], axis=0))
-        h_pre = jnp.maximum(h_diag + sub, E)     # E >= 0 supplies the 0 floor
-        E2 = jnp.maximum(jnp.maximum(h_pre - go, E - ge), sdt(0))
+        h_pre = vmax(h_diag + sub, E)            # E >= 0 supplies the 0 floor
+        E2 = vmax(vmax(h_pre - go, E - ge), sdt(0))
         g = h_pre.astype(jnp.int32) + c1         # c1 = ge*(j+1)-go+BIG*qid
         shift = 1
         while shift < max_span:                  # segmented cummax
@@ -129,8 +137,8 @@ def _kernel(bounds_ref, prof_ref, c1_ref, c2_ref, first_ref, qoff_ref,
             # h_pre >= 0, so clamping F at 0 changes nothing and makes
             # the int16 narrowing exact (F < BIG; BIGNEG would wrap)
             F = jnp.maximum(F, 0).astype(sdt)
-        h = jnp.maximum(h_pre, F)
-        best = jnp.maximum(best, h)
+        h = vmax(h_pre, F)
+        best = vmax(best, h)
         return h, E2, best
 
     def seg_step(s, carry):

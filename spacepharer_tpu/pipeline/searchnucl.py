@@ -17,7 +17,7 @@ from dataclasses import dataclass
 import numpy as np
 
 from ..alphabet import encode_nucl, revcomp_ascii
-from ..ops.banded_nucl import banded_nucleotide_align
+from ..ops.banded_nucl import banded_align_batch, banded_nucleotide_align
 from ..ops.evalue import EvalueComputer, gumbel_params
 from ..ops.matrices import load_matrix
 
@@ -101,50 +101,95 @@ def search_nucl(q_entries, t_entries, k: int = 15, evalue: float = 1e-3,
         gumbel_params("nucleotide.out", gap_open, gap_extend), t_res)
     t_lens = [len(seq) for _, seq in t_entries]
 
-    out = {}
+    # ---- stage 1: prefilter every (query, strand, chunk) and stage
+    # the candidate pairs flat (batched-driver pattern: no per-pair
+    # Python dispatch in the alignment stage)
     strands = {0: ("-",), 1: ("+",), 2: ("+", "-")}[strand]
-    for qname, q_ascii in q_entries:
+    q_chunks = []        # encoded frame chunks (alignment queries)
+    cands = []           # (qei, sgn, c_from, chunk_idx, t, diag)
+    for qei, (qname, q_ascii) in enumerate(q_entries):
         q_ascii = np.asarray(q_ascii, dtype=np.uint8)
         L = len(q_ascii)
-        rows = []
         for sgn in strands:
             # extractframes: '-' = revcomp with origin at L-1
             frame = (encode_nucl(q_ascii) if sgn == "+"
                      else encode_nucl(revcomp_ascii(q_ascii)))
             for start, ln in _split_chunks(len(frame)):
                 chunk = frame[start:start + ln]
+                ci = len(q_chunks)
+                q_chunks.append(chunk)
                 # chunk origin on the ORIGINAL strand (splitsequence
                 # header rewrite, splitsequence.cpp:97-116)
                 c_from = start if sgn == "+" else (L - 1) - start
                 for t, _sc, diag in nucl_prefilter_query(
                         chunk, idx, matrix, pattern, max_seqs,
                         min_ungapped_score):
-                    r = banded_nucleotide_align(
-                        chunk, t_chunks[t][2], diag & 0xFFFF, mat,
-                        gap_open, gap_extend, zdrop, evaluer=evaluer)
-                    if r is None or r.evalue > evalue:
-                        continue
-                    bit = int(evaluer.bit_score(r.score) + 0.5)
-                    seq_id = (r.aa_ids / len(r.backtrace)
-                              if len(r.backtrace) else 0.0)
-                    # round-trip through the alignment row text, like
-                    # offsetalignment's readAlignmentResults
-                    sid = float(format_seq_id(float(np.float32(seq_id))))
-                    ev = float(f"{r.evalue:.3E}")
-                    # updateOffset (offsetalignment.cpp:90-160)
-                    if sgn == "+":
-                        qs, qe = c_from + r.q_start, c_from + r.q_end
-                    else:
-                        qs, qe = c_from - r.q_start, c_from - r.q_end
-                    t_parent, t_from, _ = t_chunks[t]
-                    ts_, te_ = t_from + r.t_start, t_from + r.t_end
-                    alnlen = max(abs(qe - qs), abs(te_ - ts_)) + 1
-                    bme = np.float32(min(abs(qe - qs), abs(te_ - ts_)))
-                    mism = int(bme * (np.float32(1.0) - np.float32(sid))
-                               + np.float32(0.5))
-                    rows.append((ev, -bit, t_lens[t_parent], t_parent,
-                                 sid, alnlen, mism, qs, qe, ts_, te_,
-                                 bit))
+                    cands.append((qei, sgn, c_from, ci, t, diag))
+
+    # ---- stage 2: ONE native alignment walk over all candidates
+    # (banded_align_batch; bit-identical per-pair fallback otherwise)
+    batch = banded_align_batch(
+        q_chunks, [c[2] for c in t_chunks],
+        [(c[3], c[4], c[5] & 0xFFFF) for c in cands],
+        mat, gap_open, gap_extend, zdrop) if cands else None
+
+    # ---- stage 3: vectorized E-values + m8 assembly
+    out = {qname: [] for qname, _ in q_entries}
+    if not cands:
+        return out
+    if batch is not None:
+        b_score, b_qs, b_qe, b_ts, b_te, b_ids, b_btlen = batch
+    else:
+        n = len(cands)
+        b_score = np.empty(n, np.int32)
+        b_qs = np.empty(n, np.int32)
+        b_qe = np.empty(n, np.int32)
+        b_ts = np.empty(n, np.int32)
+        b_te = np.empty(n, np.int32)
+        b_ids = np.empty(n, np.int32)
+        b_btlen = np.empty(n, np.int32)
+        for i, (qei, sgn, c_from, ci, t, diag) in enumerate(cands):
+            r = banded_nucleotide_align(
+                q_chunks[ci], t_chunks[t][2], diag & 0xFFFF, mat,
+                gap_open, gap_extend, zdrop)
+            b_score[i] = r.score
+            b_qs[i] = r.q_start
+            b_qe[i] = r.q_end
+            b_ts[i] = r.t_start
+            b_te[i] = r.t_end
+            b_ids[i] = r.aa_ids
+            b_btlen[i] = len(r.backtrace)
+    chunk_lens = np.array([len(q_chunks[c[3]]) for c in cands],
+                          dtype=np.int64)
+    evs = evaluer.evalue(b_score.astype(np.int64), chunk_lens)
+    bits = np.floor(evaluer.bit_score(b_score.astype(np.int64))
+                    + 0.5).astype(np.int64)
+    keep = evs <= evalue
+    rows_by_q = [[] for _ in q_entries]
+    for i in np.flatnonzero(keep):
+        qei, sgn, c_from, ci, t, diag = cands[i]
+        seq_id = (b_ids[i] / b_btlen[i]) if b_btlen[i] else 0.0
+        # round-trip through the alignment row text, like
+        # offsetalignment's readAlignmentResults
+        sid = float(format_seq_id(float(np.float32(seq_id))))
+        ev = float(f"{evs[i]:.3E}")
+        bit = int(bits[i])
+        # updateOffset (offsetalignment.cpp:90-160)
+        if sgn == "+":
+            qs, qe = c_from + int(b_qs[i]), c_from + int(b_qe[i])
+        else:
+            qs, qe = c_from - int(b_qs[i]), c_from - int(b_qe[i])
+        t_parent, t_from, _ = t_chunks[t]
+        ts_, te_ = t_from + int(b_ts[i]), t_from + int(b_te[i])
+        alnlen = max(abs(qe - qs), abs(te_ - ts_)) + 1
+        bme = np.float32(min(abs(qe - qs), abs(te_ - ts_)))
+        mism = int(bme * (np.float32(1.0) - np.float32(sid))
+                   + np.float32(0.5))
+        rows_by_q[qei].append((ev, -bit, t_lens[t_parent], t_parent,
+                               sid, alnlen, mism, qs, qe, ts_, te_,
+                               bit))
+    for qei, (qname, _) in enumerate(q_entries):
+        rows = rows_by_q[qei]
         # merge-query: stable sort by Matcher::compareHits
         rows.sort(key=lambda x: x[:4])
         hits = []
