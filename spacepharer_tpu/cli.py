@@ -163,6 +163,10 @@ def _add_createsetdb_flags(p):
     p.add_argument("--max-length",
                    type=_ranged(int, 1, 32734, "--max-length"),
                    default=32734)
+    p.add_argument("--shuffle", type=int, default=1, choices=(0, 1),
+                   help="createdb's stride-32 contig renumbering "
+                        "(id-load-bearing: the reference's prefilter "
+                        "hash bins and tie-breaks key on these ids)")
 
 
 def parse_multiparam(value, default_aa: int, default_nucl: int):
@@ -258,7 +262,7 @@ def cmd_createsetdb(argv):
     stamp_params = "|".join(str(getattr(args, a)) for a in (
         "reverse_fragments", "extractorf_spacer", "min_length",
         "max_length", "translation_table", "tax_mapping_file",
-        "ncbi_tax_dump"))
+        "ncbi_tax_dump", "shuffle"))
     stamp_hash = _hash_inputs("createsetdb", stamp_params, files)
     stamp_file = os.path.join(out_db, "createsetdb.stamp")
     if SetDB.exists(out_db):
@@ -296,7 +300,8 @@ def cmd_createsetdb(argv):
             orf_min_length=args.min_length, orf_max_length=args.max_length,
             translation_table=args.translation_table,
             tax_mapping_file=args.tax_mapping_file,
-            taxdump_dir=args.ncbi_tax_dump)
+            taxdump_dir=args.ncbi_tax_dump,
+            shuffle=bool(args.shuffle))
     db.save(out_db)
     try:
         with open(stamp_file, "w") as fh:

@@ -433,14 +433,31 @@ class SetDB:
         return db
 
 
+def _createdb_shuffle_order(n: int, splits: int = 32) -> np.ndarray:
+    """The reference createdb's deterministic 'shuffle': entry id i
+    goes to writer split i % 32, splits concatenate in order, keys are
+    reassigned sequentially (createdb.cpp:60,219-230). Contig key k
+    therefore maps to input entry order[k] of this interleave. The
+    numbering is id-load-bearing: the prefilter's hash-bin machinery
+    (dup filter, keepMax, tie-break sorts) all key on these ids, so
+    byte parity at scale requires the same assignment."""
+    return np.concatenate([np.arange(s, n, splits, dtype=np.int64)
+                           for s in range(splits)]) if n else \
+        np.zeros(0, dtype=np.int64)
+
+
 def build_setdb_from_fasta(files: list, spacer_mode: bool = False,
                            reverse_fragments: bool = False,
                            orf_min_length: Optional[int] = None,
                            orf_max_length: int = 32734,
                            translation_table: int = 1,
                            tax_mapping_file: Optional[str] = None,
-                           taxdump_dir: Optional[str] = None) -> SetDB:
-    """FASTA files -> SetDB. One set per input file."""
+                           taxdump_dir: Optional[str] = None,
+                           shuffle: bool = True) -> SetDB:
+    """FASTA files -> SetDB. One set per input file. ``shuffle``
+    replicates createdb's default stride-32 contig renumbering (see
+    _createdb_shuffle_order); parsespacer-built query DBs keep input
+    order, like the reference's DB-input createsetdb path."""
     contigs, accs, headers, c2s, set_names = [], [], [], [], []
 
     from ..native import get_lib
@@ -470,6 +487,12 @@ def build_setdb_from_fasta(files: list, spacer_mode: bool = False,
                 accs.append(parse_fasta_header_accession(e.header))
                 headers.append(e.header)
                 c2s.append(fi)
+        if shuffle and len(contigs) > 1:
+            order = _createdb_shuffle_order(len(contigs))
+            contigs = [contigs[i] for i in order]
+            accs = [accs[i] for i in order]
+            headers = [headers[i] for i in order]
+            c2s = [c2s[i] for i in order]
         db = _assemble(contigs, accs, headers, c2s, set_names, spacer_mode,
                        reverse_fragments, orf_min_length, orf_max_length,
                        translation_table)
@@ -510,6 +533,13 @@ def build_setdb_from_fasta(files: list, spacer_mode: bool = False,
             headers.append(e.header)
             c2s.append(fi)
             scanned.append(sc)
+    if shuffle and len(contigs) > 1:
+        order = _createdb_shuffle_order(len(contigs))
+        contigs = [contigs[i] for i in order]
+        accs = [accs[i] for i in order]
+        headers = [headers[i] for i in order]
+        c2s = [c2s[i] for i in order]
+        scanned = [scanned[i] for i in order]
     db = _assemble(contigs, accs, headers, c2s, set_names, spacer_mode,
                    reverse_fragments, orf_min_length, orf_max_length,
                    translation_table, scanned=scanned)

@@ -31,6 +31,7 @@ extern int64_t prefilter_finalize(
     int32_t bin_bits,
     const uint8_t *flat_masked, const int64_t *t_starts, int64_t n_targets,
     const int32_t *profile, int32_t lq, int32_t A,
+    const uint8_t *q_num,
     int32_t cap, int32_t min_diag_score, int32_t max_seqs,
     int32_t *out_t, int32_t *out_score, int32_t *out_diag);
 extern void sw_forward(const int32_t *prof, int64_t stride, int32_t lq,
@@ -401,7 +402,7 @@ static void pf_one_query(pf_worker_t *w, int64_t qi) {
     int64_t nh = prefilter_finalize(
         st_t, st_d, ns, sh->bin_bits,
         sh->flat_masked, sh->t_starts, sh->n_targets,
-        prof, (int32_t)lq, A, cap, sh->min_diag_score, sh->max_seqs,
+        prof, (int32_t)lq, A, q, cap, sh->min_diag_score, sh->max_seqs,
         fin, fin + fin_cap, fin + 2 * fin_cap);
     if (nh < 0) {
         *sh->error = 1;

@@ -481,12 +481,24 @@ static int32_t diag_segment_max(const int32_t *prof, int32_t lq, int32_t A,
     return (int32_t)best;
 }
 
-typedef struct { int32_t t, capped, exact, d_signed; } pref_hit_t;
+typedef struct { int32_t t, capped, exact, d_signed; int64_t win; } pref_hit_t;
 
 static int pref_hit_cmp(const void *a, const void *b) {
     const pref_hit_t *x = (const pref_hit_t *)a, *y = (const pref_hit_t *)b;
     if (x->exact != y->exact) return (x->exact < y->exact) ? 1 : -1;
     return (x->t > y->t) - (x->t < y->t);
+}
+
+/* The max_seqs truncation order: the reference's stable radix sorts
+ * by CAPPED u8 score with the match-stream order preserved within a
+ * score bucket (radixSortByScoreSize appends in input order;
+ * QueryMatcher.cpp:459-481), and getResult cuts at maxHitsPerQuery
+ * over that order — so ties at the threshold survive by the WINNING
+ * entry's position in the bin-major emit stream, not by target id. */
+static int pref_trunc_cmp(const void *a, const void *b) {
+    const pref_hit_t *x = (const pref_hit_t *)a, *y = (const pref_hit_t *)b;
+    if (x->capped != y->capped) return (x->capped < y->capped) ? 1 : -1;
+    return (x->win > y->win) - (x->win < y->win);
 }
 
 static int cmp_int64(const void *a, const void *b) {
@@ -499,6 +511,7 @@ int64_t prefilter_finalize(
     int32_t bin_bits,
     const uint8_t *flat_masked, const int64_t *t_starts, int64_t n_targets,
     const int32_t *profile, int32_t lq, int32_t A,
+    const uint8_t *q_num,
     int32_t cap, int32_t min_diag_score, int32_t max_seqs,
     int32_t *out_t, int32_t *out_score, int32_t *out_diag) {
     if (n_matches == 0) return 0;
@@ -597,8 +610,10 @@ int64_t prefilter_finalize(
             int64_t lt = t_starts[t + 1] - t_starts[t];
             int32_t best = -1, best_exact = 0;
             uint16_t best_d = 0;
+            int64_t best_win = 0;
             for (; i < n_emit && (int32_t)(keys[i] >> 32) == t; i++) {
-                uint16_t d16 = emit_d[(int64_t)(keys[i] & 0xFFFFFFFF)];
+                int64_t pos = (int64_t)(keys[i] & 0xFFFFFFFF);
+                uint16_t d16 = emit_d[pos];
                 int32_t d = (d16 >= 32768) ? (int32_t)d16 - 65536
                                            : (int32_t)d16;
                 int32_t sc = diag_segment_max(profile, lq, A, tseq, lt, d);
@@ -607,8 +622,10 @@ int64_t prefilter_finalize(
                     best = sc_cap;
                     best_d = d16;
                     best_exact = sc;
+                    best_win = pos;
                 }
             }
+            hits[nh].win = best_win;
             hits[nh].t = t;
             hits[nh].capped = best;
             /* saturated entries report the exact rescoring
@@ -635,8 +652,48 @@ int64_t prefilter_finalize(
             if (hits[h].capped < thr) continue;
             hits[no++] = hits[h];
         }
+        if (thr >= cap && q_num != NULL) {
+            /* scoreIsTruncated branch (QueryMatcher.cpp:146-155):
+             * every survivor is exactly rescored, rescaled against
+             * the query's ungapped self score into a u8
+             * (rescoreHits), selected in (rescaled desc, stream
+             * order) and emitted as the quantized reconstruction
+             * cap + count*maxSelf/255 (getResult escape). */
+            int32_t self_sc = diag_segment_max(profile, lq, A,
+                                               q_num, lq, 0);
+            int32_t max_self = self_sc - cap;
+            if (max_self < 1) max_self = 1;
+            if (max_self > 65535) max_self = 65535;
+            for (int64_t h = 0; h < no; h++) {
+                uint32_t ns = (uint32_t)(hits[h].exact - cap);
+                float score_f = (float)(ns < 65535u ? ns : 65535u);
+                double val = (double)(score_f / (float)max_self
+                                      * 255.0f) + 0.5;
+                hits[h].capped = (int32_t)((uint8_t)(uint32_t)val);
+                hits[h].exact = cap
+                    + (int32_t)((uint32_t)hits[h].capped
+                                * (uint32_t)max_self / 255u);
+            }
+            qsort(hits, (size_t)no, sizeof(pref_hit_t), pref_trunc_cmp);
+            if (no > max_seqs) no = max_seqs;
+            qsort(hits, (size_t)no, sizeof(pref_hit_t), pref_hit_cmp);
+            for (int64_t h = 0; h < no; h++) {
+                out_t[h] = hits[h].t;
+                out_score[h] = hits[h].exact;
+                out_diag[h] = hits[h].d_signed;
+            }
+            free(hits);
+            free(emit_t); free(emit_d); free(emit_idx);
+            return no;
+        }
+        /* truncate in the reference's radix order (capped score desc,
+         * winning-entry stream position), THEN sort the survivors by
+         * (exact score desc, target) — compareHitsByScoreAndId */
+        if (no > max_seqs) {
+            qsort(hits, (size_t)no, sizeof(pref_hit_t), pref_trunc_cmp);
+            no = max_seqs;
+        }
         qsort(hits, (size_t)no, sizeof(pref_hit_t), pref_hit_cmp);
-        if (no > max_seqs) no = max_seqs;
         for (int64_t h = 0; h < no; h++) {
             out_t[h] = hits[h].t;
             out_score[h] = hits[h].exact;

@@ -741,8 +741,9 @@ def prefilter_query(q_num: np.ndarray, index: TargetIndex,
     from ..native import get_lib
     lib = get_lib()
     if lib is not None:
-        return _finalize_native(lib, m_t, m_d, index, profile, cap, params)
-    return _finalize_py(m_t, m_d, index, profile, cap, params)
+        return _finalize_native(lib, m_t, m_d, index, profile, cap,
+                                params, q_num)
+    return _finalize_py(m_t, m_d, index, profile, cap, params, q_num)
 
 
 def prefilter_query_batch(q_list: list, index: TargetIndex,
@@ -886,13 +887,14 @@ def merge_split_hits(hits: list, cap: int,
 
 
 def _finalize_native(lib, m_t, m_d, index: TargetIndex, profile, cap,
-                     params: PrefilterParams) -> list:
+                     params: PrefilterParams, q_num) -> list:
     """C path of the dup filter + diag rescore (sw_native.c
     prefilter_finalize); bit-identical to _finalize_py."""
     flatm, mstarts = index.packed_masked()
     m_t32 = np.ascontiguousarray(m_t, dtype=np.int32)
     m_d16 = np.ascontiguousarray(m_d, dtype=np.uint16)
     prof32 = np.ascontiguousarray(profile, dtype=np.int32)
+    q8 = np.ascontiguousarray(q_num, dtype=np.uint8)
     n = len(m_t32)
     out_t = np.empty(n, dtype=np.int32)
     out_s = np.empty(n, dtype=np.int32)
@@ -902,16 +904,17 @@ def _finalize_native(lib, m_t, m_d, index: TargetIndex, profile, cap,
         _bin_bits(len(index.seq_lengths)),
         flatm.ctypes.data, mstarts.ctypes.data, len(index.seq_lengths),
         prof32.ctypes.data, prof32.shape[0], prof32.shape[1],
+        q8.ctypes.data,
         int(cap), params.min_diag_score, params.max_seqs,
         out_t.ctypes.data, out_s.ctypes.data, out_d.ctypes.data)
     if nh < 0:
-        return _finalize_py(m_t, m_d, index, profile, cap, params)
+        return _finalize_py(m_t, m_d, index, profile, cap, params, q_num)
     return [PrefilterHit(int(out_t[i]), int(out_s[i]), int(out_d[i]))
             for i in range(nh)]
 
 
 def _finalize_py(m_t, m_d, index: TargetIndex, profile, cap,
-                 params: PrefilterParams) -> list:
+                 params: PrefilterParams, q_num=None) -> list:
     # double-diagonal filter (CacheFriendlyOperations::findDuplicates,
     # CacheFriendlyOperations.cpp:146-225): targets are binned by
     # seqId & (BINSIZE-1); the per-slot (seqId >> log2(BINSIZE)) state
@@ -927,6 +930,7 @@ def _finalize_py(m_t, m_d, index: TargetIndex, profile, cap,
     d_u8 = (m_d & 0xFF).astype(np.int64)
     slots = {}
     diag_sets = {}
+    emit_pos = 0
     for b in range(bin_mask + 1):
         sel = (m_t & bin_mask) == b
         kept = []  # (target, d16, d8) in stream order
@@ -941,7 +945,8 @@ def _finalize_py(m_t, m_d, index: TargetIndex, profile, cap,
         for t, d16, d8 in kept:
             slot = t >> bin_bits
             if slots[slot] != d8:
-                diag_sets.setdefault(t, []).append(d16)
+                diag_sets.setdefault(t, []).append((d16, emit_pos))
+                emit_pos += 1
             slots[slot] = d8
 
     results = []
@@ -949,7 +954,8 @@ def _finalize_py(m_t, m_d, index: TargetIndex, profile, cap,
         tseq = index.seqs_masked[t]
         best = -1
         best_d = 0
-        for d_u16 in dlist:  # candidate order; ties keep the first entry
+        best_win = 0
+        for d_u16, pos in dlist:  # candidate order; ties keep first
             d = d_u16 - 65536 if d_u16 >= 32768 else d_u16
             sc = ungapped_diagonal_score(profile, tseq, d)
             sc_cap = min(sc, cap)
@@ -957,11 +963,12 @@ def _finalize_py(m_t, m_d, index: TargetIndex, profile, cap,
                 best = sc_cap
                 best_d = d_u16
                 best_exact = sc
-        results.append((t, best, best_d, best_exact))
+                best_win = pos
+        results.append((t, best, best_d, best_exact, best_win))
 
     # histogram threshold (max_seqs cap)
     hist = np.zeros(256, dtype=np.int64)
-    for _, sc, _, _ in results:
+    for _, sc, _, _, _ in results:
         hist[min(sc, 255)] += 1
     found = 0
     thr_score = 0
@@ -972,12 +979,46 @@ def _finalize_py(m_t, m_d, index: TargetIndex, profile, cap,
             break
     thr_score = max(params.min_diag_score, thr_score)
 
+    # Truncation order parity: the reference's stable radix keeps the
+    # match-stream order within a capped-score bucket
+    # (radixSortByScoreSize, QueryMatcher.cpp:459-481), so ties at the
+    # threshold survive by the WINNING entry's emit position; only the
+    # surviving list is then sorted by compareHitsByScoreAndId.
+    survivors = [r for r in results if r[1] >= thr_score]
+    if thr_score >= cap and q_num is not None:
+        # scoreIsTruncated branch (QueryMatcher.cpp:146-155): when the
+        # threshold saturates the u8 cap, every survivor is exactly
+        # rescored, RESCALED against the query's ungapped self score
+        # into a u8 (rescoreHits, QueryMatcher.cpp:486-505), selected
+        # in (rescaled desc, stream order) and emitted as the
+        # QUANTIZED reconstruction lb + count*maxSelf/255
+        # (getResult, QueryMatcher.cpp:367-370).
+        self_sc = ungapped_diagonal_score(
+            profile, np.asarray(q_num, dtype=np.int64), 0)
+        max_self = min(max(self_sc - cap, 1), 65535)
+        rescaled = []
+        for t, sc, d_u16, sc_exact, win in survivors:
+            new = (sc_exact - cap) & 0xFFFFFFFF        # u32 arithmetic
+            score_f = np.float32(min(new, 65535))
+            count8 = int(float(score_f / np.float32(max_self)
+                               * np.float32(255)) + 0.5) & 0xFF
+            rescaled.append((t, sc, d_u16, count8, win))
+        rescaled.sort(key=lambda r: (-r[3], r[4]))
+        rescaled = rescaled[:params.max_seqs]
+        hits = []
+        for t, sc, d_u16, count8, _ in rescaled:
+            out_score = cap + (count8 * max_self) // 255
+            d_signed = d_u16 - 65536 if d_u16 >= 32768 else d_u16
+            hits.append(PrefilterHit(t, out_score, d_signed))
+        hits.sort(key=lambda h: (-abs(h.score), h.target))
+        return hits
+    if len(survivors) > params.max_seqs:
+        survivors.sort(key=lambda r: (-r[1], r[4]))
+        survivors = survivors[:params.max_seqs]
     hits = []
-    for t, sc, d_u16, sc_exact in results:
-        if sc < thr_score:
-            continue
+    for t, sc, d_u16, sc_exact, _ in survivors:
         out_score = sc_exact if sc >= cap else sc
         d_signed = d_u16 - 65536 if d_u16 >= 32768 else d_u16
         hits.append(PrefilterHit(t, out_score, d_signed))
     hits.sort(key=lambda h: (-abs(h.score), h.target))
-    return hits[:params.max_seqs]
+    return hits

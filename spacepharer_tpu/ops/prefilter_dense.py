@@ -513,9 +513,11 @@ def device_prefilter(q_all, keys, bias80_all, t_flat_masked, t_starts,
             continue
         profile, cap = ungapped_profile_cap(
             np.asarray(q_all[k], dtype=np.int64), bias80_all[k], ungapped_m)
+        q_num = np.asarray(q_all[k], dtype=np.int64)
         if lib is not None:
             out[k] = _finalize_native(lib, m_t, m_d, shim, profile, cap,
-                                      params)
+                                      params, q_num)
         else:
-            out[k] = _finalize_py(m_t, m_d, shim, profile, cap, params)
+            out[k] = _finalize_py(m_t, m_d, shim, profile, cap, params,
+                                  q_num)
     return out

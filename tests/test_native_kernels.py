@@ -165,7 +165,8 @@ def test_prefilter_finalize_matches_python():
             max_seqs=int(rng.integers(1, 40)),
             min_diag_score=int(rng.integers(0, 20)))
         cap = int(rng.integers(20, 256))
-        py = pf._finalize_py(m_t, m_d, index, profile, cap, params)
-        nat = pf._finalize_native(lib, m_t, m_d, index, profile, cap, params)
+        py = pf._finalize_py(m_t, m_d, index, profile, cap, params, q)
+        nat = pf._finalize_native(lib, m_t, m_d, index, profile, cap,
+                                  params, q)
         assert [(h.target, h.score, h.diagonal) for h in nat] \
             == [(h.target, h.score, h.diagonal) for h in py], trial

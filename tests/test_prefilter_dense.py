@@ -52,13 +52,14 @@ def _host_hits_and_streams(queries, targets, params, enum, seed_m):
     orig_native = pf_mod._finalize_native
     orig_py = pf_mod._finalize_py
 
-    def cap_native(lib, m_t, m_d, index, profile, cap, params):
+    def cap_native(lib, m_t, m_d, index, profile, cap, params, q_num):
         captured.append((np.asarray(m_t).copy(), np.asarray(m_d).copy()))
-        return orig_native(lib, m_t, m_d, index, profile, cap, params)
+        return orig_native(lib, m_t, m_d, index, profile, cap, params,
+                           q_num)
 
-    def cap_py(m_t, m_d, index, profile, cap, params):
+    def cap_py(m_t, m_d, index, profile, cap, params, q_num=None):
         captured.append((np.asarray(m_t).copy(), np.asarray(m_d).copy()))
-        return orig_py(m_t, m_d, index, profile, cap, params)
+        return orig_py(m_t, m_d, index, profile, cap, params, q_num)
 
     pf_mod._finalize_native = cap_native
     pf_mod._finalize_py = cap_py
