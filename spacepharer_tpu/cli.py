@@ -167,6 +167,11 @@ def _add_createsetdb_flags(p):
                    help="createdb's stride-32 contig renumbering "
                         "(id-load-bearing: the reference's prefilter "
                         "hash bins and tie-breaks key on these ids)")
+    p.add_argument("--threads", type=_ranged(int, 0, None, "--threads"),
+                   default=0,
+                   help="0 = auto (build output is deterministic and "
+                        "thread-count-invariant either way, unlike the "
+                        "reference's per-thread DBWriter offsets)")
 
 
 def parse_multiparam(value, default_aa: int, default_nucl: int):

@@ -19,6 +19,8 @@
  * (banded_sw, StripedSmithWaterman.cpp:781-980) for E-value survivors.
  */
 #include <math.h>
+#include <stdio.h>
+#include <time.h>
 #include <pthread.h>
 #include <stdint.h>
 #include <stdlib.h>
@@ -245,7 +247,17 @@ typedef struct {
     /* scratch */
     buf_t bias, prof, aacorr, st_t, st_d, fin;
     pf_loc_t *loc;                /* [N_HALF] intersection scratch */
+    /* phase profile (SPACEPHARER_PREF_STATS=1): seconds in
+     * profile-build / match-stream walk / finalize + stream volume */
+    double tm_prof, tm_walk, tm_fin;
+    int64_t n_stream;
 } pf_worker_t;
+
+static double pf_now(void) {
+    struct timespec ts;
+    clock_gettime(CLOCK_MONOTONIC, &ts);
+    return (double)ts.tv_sec + 1e-9 * (double)ts.tv_nsec;
+}
 
 #define PF_CHUNK 64
 
@@ -260,6 +272,7 @@ static void pf_one_query(pf_worker_t *w, int64_t qi) {
     if (n_codes <= 0 || sh->n_uniq == 0)
         return;
 
+    double pf_t0 = pf_now();
     double *bias = (double *)buf_ensure(&w->bias, lq, sizeof(double));
     if (!bias) {
         *sh->error = 1;
@@ -287,6 +300,8 @@ static void pf_one_query(pf_worker_t *w, int64_t qi) {
             prow[a] = row[a] + (int32_t)corr;
     }
     int32_t cap = 255 - (sh->sub_min_abs + (int32_t)(-corr_min));
+    double pf_t1 = pf_now();
+    w->tm_prof += pf_t1 - pf_t0;
 
     /* match stream */
     int64_t ns = 0;
@@ -391,6 +406,9 @@ static void pf_one_query(pf_worker_t *w, int64_t qi) {
     if (ns == 0)
         return;
 
+    double pf_t2 = pf_now();
+    w->tm_walk += pf_t2 - pf_t1;
+    w->n_stream += ns;
     int64_t fin_cap = sh->max_seqs < sh->n_targets
         ? sh->max_seqs : sh->n_targets;
     int32_t *fin = (int32_t *)buf_ensure(&w->fin, fin_cap * 3,
@@ -414,8 +432,15 @@ static void pf_one_query(pf_worker_t *w, int64_t qi) {
                                          sizeof(int32_t));
     int32_t *h_d = (int32_t *)buf_ensure(&w->h_d, w->h_n + nh,
                                          sizeof(int32_t));
-    if (!h_t || !h_s || !h_d) {
+    /* an empty hit buffer legitimately stays NULL until the worker's
+     * first hit (buf_ensure(b, 0) never allocates) — only a FAILED
+     * grow is an error */
+    if (w->h_n + nh > 0 && (!h_t || !h_s || !h_d)) {
         *sh->error = 1;
+        return;
+    }
+    if (nh == 0) {
+        sh->q_cnt[qi] = 0;
         return;
     }
     memcpy(h_t + w->h_n, fin, sizeof(int32_t) * (size_t)nh);
@@ -423,6 +448,7 @@ static void pf_one_query(pf_worker_t *w, int64_t qi) {
     memcpy(h_d + w->h_n, fin + 2 * fin_cap, sizeof(int32_t) * (size_t)nh);
     sh->q_cnt[qi] = (int32_t)nh;
     w->h_n += nh;
+    w->tm_fin += pf_now() - pf_t2;
 }
 
 static void *pf_worker_main(void *arg) {
@@ -539,6 +565,20 @@ int64_t prefilter_batch(
         pthread_join(tids[t], NULL);
     free(c1_start);
     free(uniq_lo);
+    if (getenv("SPACEPHARER_PREF_STATS")) {
+        double tp = 0, tw = 0, tf = 0;
+        int64_t nstream = 0;
+        for (int w = 0; w < nw; w++) {
+            tp += workers[w].tm_prof;
+            tw += workers[w].tm_walk;
+            tf += workers[w].tm_fin;
+            nstream += workers[w].n_stream;
+        }
+        fprintf(stderr,
+                "[pref-stats] nq=%lld stream=%lld "
+                "prof=%.1fs walk=%.1fs finalize=%.1fs (cpu-s summed)\n",
+                (long long)nq, (long long)nstream, tp, tw, tf);
+    }
 
     int64_t total = 0;
     if (!error) {

@@ -506,6 +506,44 @@ static int cmp_int64(const void *a, const void *b) {
     return (x > y) - (x < y);
 }
 
+/* Per-thread reusable scratch: the finalize runs once per query ORF
+ * (370k+ calls at catalog scale); fresh malloc/calloc per call made
+ * first-touch page faults the dominant cost on hypervisor-backed RAM
+ * (CLAUDE.md). The slot array is zeroed lazily: only slots touched by
+ * THIS query's stream are reset at the end of the call. */
+typedef struct {
+    int64_t *bin_off;   /* [n_bins+1] */
+    int64_t *cur;       /* [n_bins] */
+    int32_t *s_t;
+    uint16_t *s_d;
+    int64_t *kept;
+    int32_t *emit_t;
+    uint16_t *emit_d;
+    int64_t *emit_idx;
+    int64_t cap_matches;
+    uint8_t *slots;
+    int64_t cap_slots;
+    int slots_dirty;    /* OOM path left unknown slots set */
+    int64_t *keys;
+    pref_hit_t *hits;
+    int64_t cap_emit;
+} pf_fin_ws_t;
+
+static __thread pf_fin_ws_t g_fin_ws;
+
+static void *fin_grow(void **p, int64_t *cap, int64_t n, size_t elem) {
+    if (n > *cap) {
+        int64_t nc = *cap ? *cap : 4096;
+        while (nc < n) nc *= 2;
+        void *np = realloc(*p, (size_t)nc * elem);
+        if (!np)
+            return NULL;
+        *p = np;
+        *cap = nc;
+    }
+    return *p;
+}
+
 int64_t prefilter_finalize(
     const int32_t *m_t, const uint16_t *m_d, int64_t n_matches,
     int32_t bin_bits,
@@ -519,19 +557,49 @@ int64_t prefilter_finalize(
     int32_t bin_mask = (int32_t)(n_bins - 1);
     int64_t n_slots = (n_targets >> bin_bits) + 2;
 
-    /* stable counting sort of the stream by bin */
-    int64_t *bin_off = (int64_t *)calloc((size_t)(n_bins + 1), sizeof(int64_t));
-    int32_t *s_t = (int32_t *)malloc((size_t)n_matches * sizeof(int32_t));
-    uint16_t *s_d = (uint16_t *)malloc((size_t)n_matches * sizeof(uint16_t));
-    int64_t *kept = (int64_t *)malloc((size_t)n_matches * sizeof(int64_t));
-    int32_t *emit_t = (int32_t *)malloc((size_t)n_matches * sizeof(int32_t));
-    uint16_t *emit_d = (uint16_t *)malloc((size_t)n_matches * sizeof(uint16_t));
-    int64_t *emit_idx = (int64_t *)malloc((size_t)n_matches * sizeof(int64_t));
-    uint8_t *slots = (uint8_t *)calloc((size_t)n_slots, 1);
-    if (!bin_off || !s_t || !s_d || !kept || !emit_t || !emit_d
+    pf_fin_ws_t *ws = &g_fin_ws;
+    if (n_bins + 1 > 4096) return -1;   /* bin_bits <= 11 always */
+    if (!ws->bin_off) {
+        ws->bin_off = (int64_t *)malloc(4096 * sizeof(int64_t));
+        ws->cur = (int64_t *)malloc(4096 * sizeof(int64_t));
+        if (!ws->bin_off || !ws->cur)
+            return -1;
+    }
+    int64_t cm = ws->cap_matches;
+    int32_t *s_t = (int32_t *)fin_grow((void **)&ws->s_t, &cm,
+                                       n_matches, sizeof(int32_t));
+    cm = ws->cap_matches;
+    uint16_t *s_d = (uint16_t *)fin_grow((void **)&ws->s_d, &cm,
+                                         n_matches, sizeof(uint16_t));
+    cm = ws->cap_matches;
+    int64_t *kept = (int64_t *)fin_grow((void **)&ws->kept, &cm,
+                                        n_matches, sizeof(int64_t));
+    cm = ws->cap_matches;
+    int32_t *emit_t = (int32_t *)fin_grow((void **)&ws->emit_t, &cm,
+                                          n_matches, sizeof(int32_t));
+    cm = ws->cap_matches;
+    uint16_t *emit_d = (uint16_t *)fin_grow((void **)&ws->emit_d, &cm,
+                                            n_matches, sizeof(uint16_t));
+    cm = ws->cap_matches;
+    int64_t *emit_idx = (int64_t *)fin_grow((void **)&ws->emit_idx, &cm,
+                                            n_matches, sizeof(int64_t));
+    ws->cap_matches = cm;
+    uint8_t *slots;
+    if (n_slots > ws->cap_slots) {
+        free(ws->slots);
+        ws->slots = (uint8_t *)calloc((size_t)n_slots * 2, 1);
+        ws->cap_slots = ws->slots ? n_slots * 2 : 0;
+        ws->slots_dirty = 0;
+    }
+    slots = ws->slots;
+    if (slots && ws->slots_dirty) {
+        memset(slots, 0, (size_t)ws->cap_slots);
+        ws->slots_dirty = 0;
+    }
+    int64_t *bin_off = ws->bin_off;
+    memset(bin_off, 0, (size_t)(n_bins + 1) * sizeof(int64_t));
+    if (!s_t || !s_d || !kept || !emit_t || !emit_d
         || !emit_idx || !slots) {
-        free(bin_off); free(s_t); free(s_d); free(kept);
-        free(emit_t); free(emit_d); free(emit_idx); free(slots);
         return -1;
     }
     for (int64_t i = 0; i < n_matches; i++)
@@ -539,14 +607,13 @@ int64_t prefilter_finalize(
     for (int64_t b = 0; b < n_bins; b++)
         bin_off[b + 1] += bin_off[b];
     {
-        int64_t *cur = (int64_t *)malloc((size_t)n_bins * sizeof(int64_t));
+        int64_t *cur = ws->cur;
         memcpy(cur, bin_off, (size_t)n_bins * sizeof(int64_t));
         for (int64_t i = 0; i < n_matches; i++) {
             int64_t p = cur[m_t[i] & bin_mask]++;
             s_t[p] = m_t[i];
             s_d[p] = m_d[i];
         }
-        free(cur);
     }
 
     int64_t n_emit = 0;
@@ -580,7 +647,10 @@ int64_t prefilter_finalize(
             slots[slot] = d8;
         }
     }
-    free(bin_off); free(s_t); free(s_d); free(kept); free(slots);
+    /* reset ONLY the slots this stream touched (the lazy-zero
+     * contract of the reusable scratch) */
+    for (int64_t i = 0; i < n_matches; i++)
+        slots[(int64_t)s_t[i] >> bin_bits] = 0;
 
     /* group emits by target, preserving emit order within a target:
      * stable sort on composite key (target << 32) | emit_position.
@@ -589,14 +659,16 @@ int64_t prefilter_finalize(
      * gathers its run while keeping that order. */
     int64_t n_hits = 0;
     if (n_emit) {
-        int64_t *keys = (int64_t *)malloc((size_t)n_emit * sizeof(int64_t));
-        pref_hit_t *hits = (pref_hit_t *)malloc(
-            (size_t)n_emit * sizeof(pref_hit_t));
+        int64_t ce = ws->cap_emit;
+        int64_t *keys = (int64_t *)fin_grow((void **)&ws->keys, &ce,
+                                            n_emit, sizeof(int64_t));
+        ce = ws->cap_emit;
+        pref_hit_t *hits = (pref_hit_t *)fin_grow(
+            (void **)&ws->hits, &ce, n_emit, sizeof(pref_hit_t));
+        ws->cap_emit = ce;
         int64_t hist[256];
         memset(hist, 0, sizeof(hist));
         if (!keys || !hits) {
-            free(keys); free(hits);
-            free(emit_t); free(emit_d); free(emit_idx);
             return -1;
         }
         for (int64_t i = 0; i < n_emit; i++)
@@ -636,7 +708,6 @@ int64_t prefilter_finalize(
             hist[best < 255 ? best : 255]++;
             nh++;
         }
-        free(keys);
 
         /* threshold: scan 255->1 accumulating counts (QueryMatcher.h:199) */
         int64_t found = 0;
@@ -682,8 +753,6 @@ int64_t prefilter_finalize(
                 out_score[h] = hits[h].exact;
                 out_diag[h] = hits[h].d_signed;
             }
-            free(hits);
-            free(emit_t); free(emit_d); free(emit_idx);
             return no;
         }
         /* truncate in the reference's radix order (capped score desc,
@@ -700,9 +769,7 @@ int64_t prefilter_finalize(
             out_diag[h] = hits[h].d_signed;
         }
         n_hits = no;
-        free(hits);
     }
-    free(emit_t); free(emit_d); free(emit_idx);
     return n_hits;
 }
 

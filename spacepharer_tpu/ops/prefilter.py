@@ -620,15 +620,34 @@ class SimilarKmerEnumerator:
                 + c2[pos_j].astype(np.int64))
 
 
+def _l2_cache_size() -> int:
+    """Util::getL2CacheSize (Util.cpp:373-388): sysconf
+    _SC_LEVEL2_CACHE_SIZE, else 262144. Python's os.sysconf lacks the
+    name on this glibc, so fall back to the sysfs cache topology the C
+    sysconf reads — the value is id-load-bearing (it picks BINCOUNT,
+    which shapes the prefilter's bin-major tie order)."""
+    try:
+        l2 = os.sysconf("SC_LEVEL2_CACHE_SIZE")
+        if l2 > 0:
+            return l2
+    except (ValueError, OSError):
+        pass
+    try:
+        with open("/sys/devices/system/cpu/cpu0/cache/index2/size") as fh:
+            txt = fh.read().strip()
+        if txt.endswith("K"):
+            return int(txt[:-1]) * 1024
+        if txt.endswith("M"):
+            return int(txt[:-1]) * 1024 * 1024
+        return int(txt)
+    except (OSError, ValueError):
+        return 262144
+
+
 def _bin_bits(db_size: int) -> int:
     """QueryMatcher::initDiagonalMatcher (QueryMatcher.cpp:383-410):
     smallest BINSIZE in {2,4,...,2048} with db_size/BINSIZE < L2 cache."""
-    try:
-        l2 = os.sysconf("SC_LEVEL2_CACHE_SIZE")
-        if l2 <= 0:
-            l2 = 262144
-    except (ValueError, OSError):
-        l2 = 262144
+    l2 = _l2_cache_size()
     for bits in range(1, 12):
         if db_size // (1 << bits) < l2:
             return bits

@@ -50,6 +50,12 @@ def main():
     ap.add_argument("--binary", default=SPACEPHARER,
                     help="spacepharer executable (ours by default; pass "
                          "the reference build for like-for-like runs)")
+    ap.add_argument("--threads", type=int, default=0,
+                    help="thread count for EVERY stage (the reference "
+                         "is only deterministic at --threads 1: its "
+                         "per-thread DBWriter files + omp dynamic "
+                         "scheduling make DB offset order racy, and "
+                         "LINEAR_ACCCESS internal ids follow offsets)")
     args = ap.parse_args()
 
     SPACEPHARER = args.binary
@@ -58,12 +64,13 @@ def main():
     sets = sorted(glob.glob(os.path.join(args.catalog, "*.fas")))
     assert genomes and sets, "empty corpus"
 
+    thr = (["--threads", str(args.threads)] if args.threads else [])
     t_build = run([SPACEPHARER, "createsetdb"] + genomes
-                  + ["targets", "tmp"], args.workdir)
+                  + ["targets", "tmp"] + thr, args.workdir)
     t_ctrl = run([SPACEPHARER, "createsetdb"] + genomes
-                 + ["targets_rev", "tmp", "--reverse-fragments", "1"],
-                 args.workdir)
-    flags = list(args.extra)
+                 + ["targets_rev", "tmp", "--reverse-fragments", "1"]
+                 + thr, args.workdir)
+    flags = list(args.extra) + thr
     if args.split_memory_limit:
         flags += ["--split-memory-limit", str(args.split_memory_limit)]
     t_pred = run([SPACEPHARER, "easy-predict"] + sets
