@@ -101,7 +101,10 @@ class WorkflowCache:
         if self.has(name):
             info(f"[resume] {name}: reusing cached artifact")
             return self.load(name)
+        import time as _time
+        t0 = _time.time()
         result = fn()
+        info(f"Time for {name}: {_time.time() - t0:.3f}s")
         barrier = os.environ.get("SPACEPHARER_STAGE_BARRIER")
         if barrier == name:
             # Test hook: commit this stage's artifact synchronously,

@@ -73,7 +73,10 @@ def main():
     flags = list(args.extra) + thr
     if args.split_memory_limit:
         flags += ["--split-memory-limit", str(args.split_memory_limit)]
-    t_pred = run([SPACEPHARER, "easy-predict"] + sets
+    # Dion-scale catalogs (490k files) exceed ARG_MAX: pass the
+    # directory — parsespacer's dir-walk input (ParseSpacer.cpp:81-132)
+    set_args = sets if len(sets) <= 60000 else [args.catalog]
+    t_pred = run([SPACEPHARER, "easy-predict"] + set_args
                  + ["targets", "out.tsv", "tmp", "-v", "2"] + flags,
                  args.workdir)
     peak_mb = resource.getrusage(resource.RUSAGE_CHILDREN).ru_maxrss / 1024
