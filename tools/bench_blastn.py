@@ -117,6 +117,17 @@ def main():
                                text=True)
             assert r.returncode == 0, (cmd[:3], r.stderr[-2000:])
         out["reference_s"] = round(time.time() - t0, 2)
+        # byte parity is defined at the reference's deterministic
+        # --threads 1 operating point (its multi-threaded aln DB write
+        # order is racy: per-thread DBWriter files; same finding as the
+        # flagship protocol, BASELINE.md)
+        for cmd in ([REF, "search", "qdb", "tdb", "aln1", "tmp1",
+                     "--search-type", "3", "--threads", "1"],
+                    [REF, "convertalis", "qdb", "tdb", "aln1",
+                     "ref_t1.m8", "--threads", "1"]):
+            r = subprocess.run(cmd, cwd=cwd, env=env, capture_output=True,
+                               text=True)
+            assert r.returncode == 0, (cmd[:3], r.stderr[-2000:])
 
         # parity: rerun ours with targets in the reference's key order
         # both sides follow createdb's shuffled key order in the
@@ -134,8 +145,11 @@ def main():
         res = search_nucl(q_entries, t_entries)
         got = "".join(h.m8_row() + "\n"
                       for qn, _ in q_entries for h in res[qn])
-        want = open(os.path.join(cwd, "ref.m8")).read()
-        out["m8_byte_identical"] = got == want
+        want = open(os.path.join(cwd, "ref_t1.m8")).read()
+        want2 = open(os.path.join(cwd, "ref.m8")).read()
+        out["m8_byte_identical_vs_threads1"] = got == want
+        out["m8_multiset_identical_vs_threads2"] = \
+            sorted(got.split("\n")) == sorted(want2.split("\n"))
         out["n_rows"] = want.count("\n")
     print(json.dumps(out))
 
