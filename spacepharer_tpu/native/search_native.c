@@ -40,6 +40,14 @@ extern void sw_forward(const int32_t *prof, int64_t stride, int32_t lq,
                        const uint8_t *tseq, int64_t lt,
                        int32_t gap_open, int32_t gap_extend, int32_t reverse,
                        int64_t *out);
+extern void sw_forward_i16(const int32_t *prof, int64_t stride,
+                           int32_t lq, int32_t A,
+                           const uint8_t *tseq, int64_t lt,
+                           int32_t gap_open, int32_t gap_extend,
+                           int32_t reverse, int64_t *out);
+extern int sw_simd_supported(void);
+extern int32_t sw_profile_bound(const int32_t *prof, int64_t stride,
+                                int32_t lq, int32_t A);
 
 #define MAXW 4
 
@@ -957,13 +965,24 @@ static void *af_worker_main(void *arg) {
                 &w->prof, lq * sh->A, sizeof(int32_t));
             build_sw_profile(q, lq, sh->sub, sh->A, sh->expected_tab,
                              sh->comp_bias_corr, bias, profT);
+            /* exact AVX2 i16 kernel when the query's score bound
+             * fits int16 (bit-identical; sw_native.c) */
+            int use_simd = sw_simd_supported() && lq <= 256
+                && sh->A <= 32
+                && sw_profile_bound(profT, lq, (int32_t)lq, sh->A)
+                   + (int32_t)lq * sh->gap_extend < 30000;
             for (int64_t ci = clo; ci < chi; ci++) {
                 int32_t t = sh->cand_t[ci];
                 const uint8_t *tseq = sh->tflat + sh->tstarts[t];
                 int64_t lt = sh->tstarts[t + 1] - sh->tstarts[t];
                 int64_t out3[3];
-                sw_forward(profT, lq, (int32_t)lq, tseq, lt,
-                           sh->gap_open, sh->gap_extend, 0, out3);
+                if (use_simd)
+                    sw_forward_i16(profT, lq, (int32_t)lq, sh->A, tseq,
+                                   lt, sh->gap_open, sh->gap_extend, 0,
+                                   out3);
+                else
+                    sw_forward(profT, lq, (int32_t)lq, tseq, lt,
+                               sh->gap_open, sh->gap_extend, 0, out3);
                 sh->out_score[ci] = (int32_t)out3[0];
                 sh->out_tend[ci] = (int32_t)out3[1];
                 sh->out_qend[ci] = (int32_t)out3[2];
@@ -1344,10 +1363,20 @@ static void *at_worker_main(void *arg) {
             const uint8_t *tseq = sh->tflat + sh->tstarts[t];
             int32_t t_end = sh->pair_tend[pi];
             int32_t q_end = sh->pair_qend[pi];
-            /* reverse pass over the prefix rectangle */
+            /* reverse pass over the prefix rectangle (same exact
+             * AVX2 i16 route as the forward batch when in range) */
+            int use_simd = sw_simd_supported() && lq <= 256
+                && sh->A <= 32
+                && sw_profile_bound(profT, lq, (int32_t)lq, sh->A)
+                   + (int32_t)lq * sh->gap_extend < 30000;
             int64_t out3[3];
-            sw_forward(profT, lq, q_end + 1, tseq, t_end + 1,
-                       sh->gap_open, sh->gap_extend, 1, out3);
+            if (use_simd)
+                sw_forward_i16(profT, lq, q_end + 1, sh->A, tseq,
+                               t_end + 1, sh->gap_open, sh->gap_extend,
+                               1, out3);
+            else
+                sw_forward(profT, lq, q_end + 1, tseq, t_end + 1,
+                           sh->gap_open, sh->gap_extend, 1, out3);
             int32_t rscore = (int32_t)out3[0];
             int32_t t_start = t_end - (int32_t)out3[1];
             int32_t q_start = q_end - (int32_t)out3[2];

@@ -16,8 +16,200 @@
 #include <stdlib.h>
 #include <string.h>
 #include <unistd.h>
+#if defined(__x86_64__)
+#include <immintrin.h>
+#endif
 
 #define NEG_F (-(int64_t)1 << 40)
+
+/* ---- exact AVX2 i16 forward pass ----
+ *
+ * Vertical vectorization of sw_forward over the query rows with the
+ * affine-F recurrence re-expressed as a prefix max (the same algebra
+ * as the Pallas kernel, ops/sw_packed.py): hp never depends on F, so
+ *   F_j = max_{k<j}(hp_k + k*ge) - go - (j-1)*ge
+ * and every quantity stays exact in int16 while the query's score
+ * bound is small (the caller routes big-bound/long queries to the
+ * scalar kernel). Endpoint semantics are the scalar's exactly: the
+ * end cell is the first target column attaining a strictly greater
+ * running max, minimum query row within it — bit-identical outputs
+ * (same oracle tests as the scalar, tests/test_batch_drivers.py).
+ * SW-score upper bound of a profile: at most one diagonal step per
+ * query row ever adds score. */
+int32_t sw_profile_bound(const int32_t *prof, int64_t stride, int32_t lq,
+                         int32_t A) {
+    int64_t bound = 0;
+    for (int32_t j = 0; j < lq; j++) {
+        int32_t m = 0;
+        for (int32_t a = 0; a < A; a++) {
+            int32_t v = prof[(int64_t)a * stride + j];
+            if (v > m) m = v;
+        }
+        bound += m;
+    }
+    return bound > (1 << 30) ? (1 << 30) : (int32_t)bound;
+}
+
+#if defined(__x86_64__)
+
+int sw_simd_supported(void) {
+    return __builtin_cpu_supports("avx2");
+}
+
+#define SW_I16_MAXVEC 16      /* lq <= 256 */
+#define SW_I16_NEG (-30000)
+
+/* prof here is the TRANSPOSED per-letter layout prof[a*stride + j]
+ * (the same layout sw_forward consumes). reverse=1 mirrors the scalar
+ * kernel's reversed frame: row j reads prof column lq-1-j, column i
+ * reads tseq[lt-1-i], outputs stay in the reversed frame. */
+__attribute__((target("avx2")))
+void sw_forward_i16(const int32_t *prof, int64_t stride, int32_t lq,
+                    int32_t A,
+                    const uint8_t *tseq, int64_t lt,
+                    int32_t gap_open, int32_t gap_extend, int32_t reverse,
+                    int64_t *out /* best, t_end, q_end */) {
+    int nvec = (lq + 15) / 16;
+    /* striped-free layout: vector v holds rows v*16 .. v*16+15 */
+    __m256i H[SW_I16_MAXVEC], E[SW_I16_MAXVEC], G[SW_I16_MAXVEC];
+    int16_t profbuf[32 * SW_I16_MAXVEC * 16]
+        __attribute__((aligned(32)));
+    int16_t tmp16[16] __attribute__((aligned(32)));
+    /* per-letter i16 row copies, padded rows = SW_I16_NEG so pad hp
+     * clamps to 0 and (after the valid mask) can never win */
+    int32_t A_used = A < 32 ? A : 32;
+    for (int32_t a = 0; a < A_used; a++) {
+        const int32_t *src = prof + (int64_t)a * stride;
+        int16_t *dst = profbuf + (int64_t)a * nvec * 16;
+        for (int32_t j = 0; j < nvec * 16; j++) {
+            if (j < lq) {
+                int32_t v = src[reverse ? (lq - 1 - j) : j];
+                dst[j] = (int16_t)v;
+            } else {
+                dst[j] = SW_I16_NEG;
+            }
+        }
+    }
+    /* j*ge ramp and validity mask per vector */
+    __m256i ramp[SW_I16_MAXVEC], valid[SW_I16_MAXVEC];
+    for (int v = 0; v < nvec; v++) {
+        for (int l = 0; l < 16; l++)
+            tmp16[l] = (int16_t)((v * 16 + l) * gap_extend);
+        ramp[v] = _mm256_load_si256((const __m256i *)tmp16);
+        for (int l = 0; l < 16; l++)
+            tmp16[l] = (v * 16 + l) < lq ? 0 : 1;
+        __m256i isp = _mm256_load_si256((const __m256i *)tmp16);
+        valid[v] = _mm256_cmpeq_epi16(isp, _mm256_setzero_si256());
+    }
+    const __m256i vzero = _mm256_setzero_si256();
+    const __m256i vneg = _mm256_set1_epi16(SW_I16_NEG);
+    const __m256i vgo = _mm256_set1_epi16((int16_t)gap_open);
+    const __m256i vge = _mm256_set1_epi16((int16_t)gap_extend);
+    for (int v = 0; v < nvec; v++) {
+        H[v] = vzero;
+        E[v] = vzero;
+    }
+    int32_t best = 0;
+    int64_t t_end = -1;
+    int32_t q_end = lq - 1;
+
+    for (int64_t i = 0; i < lt; i++) {
+        uint8_t c = tseq[reverse ? (lt - 1 - i) : i];
+        const int16_t *prow = profbuf + (int64_t)c * nvec * 16;
+        /* diag shift: rows shift down by one across the vector chain */
+        __m256i carry = vzero;   /* H[-1] = 0 boundary */
+        __m256i rowmax = vneg;
+        __m256i gcarry = vneg;   /* running cross-vector prefix max */
+        for (int v = 0; v < nvec; v++) {
+            __m256i h = H[v];
+            /* shift lanes down by one i16 with carry-in: AVX2 alignr
+             * works within 128-bit halves; build the shifted vector
+             * via permute+alignr */
+            __m256i swap = _mm256_permute2x128_si256(carry, h, 0x21);
+            __m256i hdiag = _mm256_alignr_epi8(h, swap, 14);
+            carry = h;
+            __m256i p = _mm256_load_si256(
+                (const __m256i *)(prow + v * 16));
+            __m256i hp = _mm256_adds_epi16(hdiag, p);
+            hp = _mm256_max_epi16(hp, vzero);
+            __m256i e = E[v];
+            hp = _mm256_max_epi16(hp, e);
+            __m256i en = _mm256_max_epi16(
+                _mm256_subs_epi16(hp, vgo), _mm256_subs_epi16(e, vge));
+            E[v] = _mm256_max_epi16(en, vzero);
+            /* g = hp + j*ge for the F prefix max */
+            __m256i g = _mm256_adds_epi16(hp, ramp[v]);
+            /* in-vector prefix max (shift down 1,2,4,8 lanes) */
+            __m256i s1 = _mm256_permute2x128_si256(vneg, g, 0x21);
+            g = _mm256_max_epi16(g, _mm256_alignr_epi8(g, s1, 14));
+            s1 = _mm256_permute2x128_si256(vneg, g, 0x21);
+            g = _mm256_max_epi16(g, _mm256_alignr_epi8(g, s1, 12));
+            s1 = _mm256_permute2x128_si256(vneg, g, 0x21);
+            g = _mm256_max_epi16(g, _mm256_alignr_epi8(g, s1, 8));
+            /* shift by 8 lanes = take the low 128 half into the high */
+            s1 = _mm256_permute2x128_si256(vneg, g, 0x21);
+            g = _mm256_max_epi16(g, s1);
+            g = _mm256_max_epi16(g, gcarry);
+            G[v] = g;
+            /* cross-vector carry: broadcast the last lane */
+            __m256i hi = _mm256_permute2x128_si256(g, g, 0x11);
+            gcarry = _mm256_broadcastw_epi16(
+                _mm256_castsi256_si128(
+                    _mm256_srli_si256(hi, 14)));
+            /* F_j reads the prefix over k <= j-1: shift G down one;
+             * v==0's lane-0 carry-in is gprev=vneg (no predecessor) */
+            __m256i gprev = (v == 0) ? vneg : G[v - 1];
+            __m256i gswap = _mm256_permute2x128_si256(gprev, G[v], 0x21);
+            __m256i gsh = _mm256_alignr_epi8(G[v], gswap, 14);
+            __m256i F = _mm256_subs_epi16(
+                _mm256_subs_epi16(gsh, vgo),
+                _mm256_subs_epi16(ramp[v], vge));
+            __m256i hnew = _mm256_max_epi16(hp, F);
+            H[v] = hnew;
+            /* pad rows never contribute to the row max */
+            __m256i hmask = _mm256_blendv_epi8(vneg, hnew, valid[v]);
+            rowmax = _mm256_max_epi16(rowmax, hmask);
+        }
+        /* horizontal max of rowmax */
+        __m128i m128 = _mm_max_epi16(
+            _mm256_castsi256_si128(rowmax),
+            _mm256_extracti128_si256(rowmax, 1));
+        m128 = _mm_max_epi16(m128, _mm_srli_si128(m128, 8));
+        m128 = _mm_max_epi16(m128, _mm_srli_si128(m128, 4));
+        m128 = _mm_max_epi16(m128, _mm_srli_si128(m128, 2));
+        int32_t colmax = (int16_t)_mm_extract_epi16(m128, 0);
+        if (colmax > best) {
+            best = colmax;
+            t_end = i;
+            /* min query row attaining colmax this column */
+            __m256i want = _mm256_set1_epi16((int16_t)colmax);
+            for (int v = 0; v < nvec; v++) {
+                __m256i eq = _mm256_and_si256(
+                    _mm256_cmpeq_epi16(H[v], want), valid[v]);
+                uint32_t mm = (uint32_t)_mm256_movemask_epi8(eq);
+                if (mm) {
+                    q_end = v * 16 + (__builtin_ctz(mm) >> 1);
+                    break;
+                }
+            }
+        }
+    }
+    out[0] = best;
+    out[1] = t_end;
+    out[2] = q_end;
+}
+
+#else
+int sw_simd_supported(void) { return 0; }
+void sw_forward_i16(const int32_t *prof, int64_t stride, int32_t lq,
+                    int32_t A,
+                    const uint8_t *tseq, int64_t lt,
+                    int32_t gap_open, int32_t gap_extend, int32_t reverse,
+                    int64_t *out) {
+    (void)prof; (void)stride; (void)lq; (void)A; (void)tseq; (void)lt;
+    (void)gap_open; (void)gap_extend; (void)reverse; (void)out;
+}
+#endif
 
 /* prof: per-letter query profile rows, prof + a*stride, int32, length lq
  * (already includes the int8 composition bias).
