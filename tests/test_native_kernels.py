@@ -170,3 +170,44 @@ def test_prefilter_finalize_matches_python():
                                   params, q)
         assert [(h.target, h.score, h.diagonal) for h in nat] \
             == [(h.target, h.score, h.diagonal) for h in py], trial
+
+
+def test_sw_forward_i16_matches_scalar():
+    """The AVX2 i16 forward kernel (prefix-max F formulation) is
+    bit-identical to the scalar sw_forward — scores AND endpoint
+    semantics (first strictly-greater column, min row), forward and
+    reversed frames, including sub-length reverse rectangles
+    (stride > lq)."""
+    import ctypes
+    lib = get_lib()
+    lib.sw_forward_i16.restype = None
+    lib.sw_forward_i16.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_void_p, ctypes.c_int64,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_void_p]
+    lib.sw_simd_supported.restype = ctypes.c_int
+    if not lib.sw_simd_supported():
+        import pytest
+        pytest.skip("no AVX2 on this host")
+    rng = np.random.default_rng(3)
+    for trial in range(600):
+        lq_full = int(rng.integers(1, 257))
+        lq = (lq_full if trial % 2
+              else int(rng.integers(1, lq_full + 1)))
+        lt = int(rng.integers(1, 240))
+        A = 21
+        prof = np.ascontiguousarray(
+            rng.integers(-17, 16, size=(A, lq_full)).astype(np.int32))
+        tseq = rng.integers(0, A, size=lt).astype(np.uint8)
+        go = int(rng.integers(1, 20))
+        ge = int(rng.integers(1, 4))
+        rev = int(rng.integers(0, 2))
+        o1 = np.zeros(3, np.int64)
+        o2 = np.zeros(3, np.int64)
+        lib.sw_forward(prof.ctypes.data, lq_full, lq, tseq.ctypes.data,
+                       lt, go, ge, rev, o1.ctypes.data)
+        lib.sw_forward_i16(prof.ctypes.data, lq_full, lq, A,
+                           tseq.ctypes.data, lt, go, ge, rev,
+                           o2.ctypes.data)
+        assert np.array_equal(o1, o2), (trial, lq_full, lq, lt, go, ge,
+                                        rev, o1, o2)
