@@ -121,26 +121,39 @@ def _rescore_native(lib, entries, q_nucl_seqs, t_nucl_seqs, nucl_m,
     bit-score call. Row-identical to the Python path."""
     from ..alphabet import encode_nucl as _enc
 
-    pool_idx = {}
+    # one pass over the rows collects pool indices and the string
+    # fields; ints parse in BULK via numpy (the per-row
+    # int()/fromiter staging was ~half the nucl-merge wall at
+    # catalog scale)
+    q_pool_idx = {}
+    t_pool_idx = {}
     pool_parts = []
-
-    def _pool(kind, key, seqs):
-        i = pool_idx.get((kind, key))
-        if i is None:
-            i = len(pool_parts)
-            pool_parts.append(np.asarray(seqs[key], dtype=np.uint8))
-            pool_idx[(kind, key)] = i
-        return i
-
-    staged = []     # (qkey, row, qpool, tpool)
+    staged = []     # (qkey, row)
+    qp_l, tp_l = [], []
+    qs_l, ts_l = [], []
     bt_parts = []
     for qkey, rows in entries.items():
         if not rows:
             continue
-        qp = _pool("q", qkey, q_nucl_seqs)
+        qp = q_pool_idx.get(qkey)
+        if qp is None:
+            qp = len(pool_parts)
+            pool_parts.append(np.asarray(q_nucl_seqs[qkey],
+                                         dtype=np.uint8))
+            q_pool_idx[qkey] = qp
         for row in rows:
-            staged.append((qkey, row, qp,
-                           _pool("t", int(row[0]), t_nucl_seqs)))
+            tkey = row[0]            # string key: parse once per target
+            tp = t_pool_idx.get(tkey)
+            if tp is None:
+                tp = len(pool_parts)
+                pool_parts.append(np.asarray(t_nucl_seqs[int(tkey)],
+                                             dtype=np.uint8))
+                t_pool_idx[tkey] = tp
+            staged.append((qkey, row))
+            qp_l.append(qp)
+            tp_l.append(tp)
+            qs_l.append(row[4])
+            ts_l.append(row[7])
             bt_parts.append(row[10].encode("ascii")
                             if len(row) > 10 else b"")
 
@@ -152,14 +165,10 @@ def _rescore_native(lib, entries, q_nucl_seqs, t_nucl_seqs, nucl_m,
     np.cumsum([len(p) for p in pool_parts], out=pool_off[1:])
     pool = (np.concatenate(pool_parts) if pool_off[-1]
             else np.zeros(1, np.uint8))
-    row_qpool = np.fromiter((s[2] for s in staged), dtype=np.int32,
-                            count=n)
-    row_tpool = np.fromiter((s[3] for s in staged), dtype=np.int32,
-                            count=n)
-    row_qstart = np.fromiter((int(s[1][4]) * 3 for s in staged),
-                             dtype=np.int32, count=n)
-    row_tstart = np.fromiter((int(s[1][7]) * 3 for s in staged),
-                             dtype=np.int32, count=n)
+    row_qpool = np.asarray(qp_l, dtype=np.int32)
+    row_tpool = np.asarray(tp_l, dtype=np.int32)
+    row_qstart = np.asarray(qs_l).astype(np.int32) * 3
+    row_tstart = np.asarray(ts_l).astype(np.int32) * 3
     bt_off = np.zeros(n + 1, dtype=np.int64)
     np.cumsum([len(b) for b in bt_parts], out=bt_off[1:])
     bt_flat = np.frombuffer(b"".join(bt_parts), dtype=np.uint8)
@@ -203,7 +212,7 @@ def _rescore_native(lib, entries, q_nucl_seqs, t_nucl_seqs, nucl_m,
     tl_l = tlens.tolist()
     bits_l = bits_i.tolist()
     nb = new_bt.tobytes()
-    for i, (qkey, row, _, _) in enumerate(staged):
+    for i, (qkey, row) in enumerate(staged):
         if is_one[i]:
             sid = "1.00"
         else:
