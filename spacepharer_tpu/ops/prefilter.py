@@ -329,6 +329,29 @@ def save_target_index(index: TargetIndex, setdb_path: str,
     return d
 
 
+class LazySlices:
+    """List-like view of per-sequence slices over (flat, starts):
+    slicing 10^5+ sequences out of an mmapped flat eagerly costs
+    seconds of view-object churn per index load at flagship scale;
+    consumers index or iterate, so slices materialize on touch."""
+
+    __slots__ = ("_flat", "_starts")
+
+    def __init__(self, flat, starts):
+        self._flat = flat
+        self._starts = starts
+
+    def __len__(self):
+        return len(self._starts) - 1
+
+    def __getitem__(self, i):
+        return self._flat[self._starts[i]:self._starts[i + 1]]
+
+    def __iter__(self):
+        for i in range(len(self)):
+            yield self[i]
+
+
 def load_target_index(setdb_path: str,
                       params: PrefilterParams) -> Optional[TargetIndex]:
     """Load a persisted index if one matches the prefilter parameters.
@@ -345,8 +368,7 @@ def load_target_index(setdb_path: str,
                         "uniq_letters", "seq_lengths")}
     starts = arr["starts"]
     flat = arr["flat_masked"]
-    seqs_masked = [flat[starts[i]:starts[i + 1]]
-                   for i in range(len(starts) - 1)]
+    seqs_masked = LazySlices(flat, starts)
     return TargetIndex(
         seqs_masked=seqs_masked, seq_lengths=arr["seq_lengths"],
         post_seq=arr["post_seq"],
